@@ -1,38 +1,115 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship ranked-OR BM25 top-k over sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, each checked against a DuckDB oracle at sf0.01.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ds2s import oracle as O  # noqa: E402
+from ds2s import query as Q  # noqa: E402
+from ds2s import wand as W  # noqa: E402
+from ds2s.corpus import load_documents  # noqa: E402
+from ds2s.invert import InvertedIndex, build_index  # noqa: E402
+from ds2s.queryset import DEFAULT_K  # noqa: E402
+
+_IDX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    key = sf_dir.rstrip("/")
+    if key not in _IDX_CACHE:
+        _IDX_CACHE[key] = build_index(load_documents(spark, key), build_arrays=True)
+    return _IDX_CACHE[key]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exhaustive BM25 ranked-OR top-k on sf0.001."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return Q.ranked_or_topk(idx, Q.queries_df(spark), k=DEFAULT_K)
+
+
+def _q(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_index(spark, sf_dir), spark)
+
+    return runner
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import pyspark.sql.functions as F
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lexicon": _q(lambda idx, s: idx.lexicon.orderBy("term_id")),
+        "sizes": _q(lambda idx, s: idx.sizes.orderBy("doc_id")),
+        "collection_stats": _q(
+            lambda idx, s: idx.sizes.agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.sum("len") / F.count("*"), 6).alias("avg_len"),
+            ).crossJoin(
+                idx.tf.agg(
+                    F.countDistinct("term_id").cast("long").alias("n_terms"),
+                    F.count("*").alias("n_postings"),
+                )
+            )
+        ),
+        "invert_tf": _q(
+            lambda idx, s: idx.tf.select("term_id", "doc_id", "tf").orderBy(
+                "term_id", "doc_id"
+            )
+        ),
+        "postings_arrays": _q(
+            lambda idx, s: idx.postings.select(
+                "term_id",
+                F.posexplode("postings").alias("pos", "p"),
+            ).select(
+                "term_id",
+                F.col("pos").cast("int").alias("pos"),
+                F.col("p.doc").alias("doc_id"),
+                F.col("p.tf").alias("tf"),
+            )
+        ),
+        "ranked_or_topk": _q(
+            lambda idx, s: Q.ranked_or_topk(idx, Q.queries_df(s), k=DEFAULT_K)
+        ),
+        "ranked_and_topk": _q(
+            lambda idx, s: Q.ranked_and_topk(idx, Q.queries_df(s), k=DEFAULT_K)
+        ),
+        "and_count": _q(lambda idx, s: Q.and_count(idx, Q.queries_df(s))),
+        "or_count": _q(lambda idx, s: Q.or_count(idx, Q.queries_df(s))),
+        "wand_max": _q(
+            lambda idx, s: W.build_wand_max(idx, round_to=4).orderBy("term_id")
+        ),
+        "block_max": _q(
+            lambda idx, s: W.build_block_max(idx, round_to=4)
+            .select(
+                "term_id", "block_id", "n", "first_doc", "last_doc", "block_max_score"
+            )
+            .orderBy("term_id", "block_id")
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lexicon": O.sql_lexicon(),
+        "sizes": O.sql_sizes(),
+        "collection_stats": O.sql_collection_stats(),
+        "invert_tf": O.sql_invert_tf(),
+        "postings_arrays": O.sql_postings_arrays(),
+        "ranked_or_topk": O.sql_ranked_or(DEFAULT_K),
+        "ranked_and_topk": O.sql_ranked_and(DEFAULT_K),
+        "and_count": O.sql_and_count(),
+        "or_count": O.sql_or_count(),
+        "wand_max": O.sql_wand_max(),
+        "block_max": O.sql_block_max(),
+    }

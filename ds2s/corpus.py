@@ -1,0 +1,177 @@
+"""Corpus loading, deterministic docID assignment, sha256 invariant.
+
+ds2i consumes a pre-parsed binary collection whose docIDs are dense [0, N)
+and whose posting lists are docID-sorted ([U] ds2i/binary_collection.hpp;
+SURVEY.md §1.1).  Here the corpus is a DataFrame; we own docID assignment
+and it must be deterministic across runs AND across parallelism levels
+(north rule: rank-identity at N and 4N executors), so we never use
+``monotonically_increasing_id`` — IDs derive from a global sort order.
+
+North-rule input shape (BASELINE.json:15): Iceberg table
+(repo, path, commit, lang, content).  The sandbox has no Iceberg runtime
+jar, so IO is parquet; ``load_corpus`` accepts either the north-rule shape
+or the driver's ``documents`` fixture (doc_id, text, lang, source, n_chars)
+and normalizes both to (doc_id, content [, repo, path, commit, lang,
+content_sha256]).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_dense_id(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign dense ids [0, N) by global ``ORDER BY order_cols``.
+
+    Scale-safe alternative to a single-partition ``row_number()`` window:
+    range-repartition on the sort key, sort within partitions, then add
+    per-partition offsets (the classic two-pass zipWithIndex trick, but
+    staying on the Arrow path).  The result is a pure function of the sort
+    order, so it is identical at any parallelism level — required for
+    rank-identity across cluster sizes (SURVEY.md §7.5).
+
+    ``order_cols`` must be a unique key of ``df``.
+    """
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    sorted_df = sorted_df.persist()
+    counts = (
+        sorted_df.groupBy(F.spark_partition_id().alias("_pid"))
+        .count()
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offsets_b = df.sparkSession.sparkContext.broadcast(offsets)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(list(sorted_df.schema.fields)).add(id_col, "long", False)
+
+    def add_ids(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets_b.value.get(pid, 0)
+        seen = 0
+        for batch in iterator:
+            n = len(batch)
+            batch[id_col] = range(base + seen, base + seen + n)
+            seen += n
+            yield batch
+
+    return sorted_df.mapInPandas(add_ids, schema=out_schema)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver fixture → normalized corpus (doc_id, content, lang, source).
+
+    ``doc_id`` in the fixture is already dense [0, N) (FIXTURES.md F2),
+    so it is the docID — no reassignment.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("content"),
+        "lang",
+        "source",
+    )
+
+
+def load_code_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """North-rule corpus (repo, path, commit, lang, content) → + dense doc_id.
+
+    docID contract: dense [0, N) by ORDER BY (repo, path, commit)
+    (FIXTURES.md F1).  Reads Iceberg when a catalog table name is given and
+    the runtime has Iceberg; parquet path otherwise (sandbox fallback,
+    SURVEY.md §1.6).
+    """
+    if "/" in path or path.endswith(".parquet"):
+        df = spark.read.parquet(path)
+    else:  # pragma: no cover - needs an Iceberg catalog
+        df = spark.read.table(path)
+    return with_dense_id(df, ["repo", "path", "commit"], "doc_id").select(
+        "doc_id", "repo", "path", "commit", "lang", "content"
+    )
+
+
+def with_sha256(df: DataFrame, col: str = "content") -> DataFrame:
+    """Per-row content sha256 (BASELINE.json:15 invariant), JVM-side."""
+    return df.withColumn("content_sha256", F.sha2(F.col(col), 256))
+
+
+def sha256_py(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic north-rule corpus (FIXTURES.md F1)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = (
+    "def class return import if else for while try except lambda yield "
+    "static void int float public private final var let const fn match "
+    "struct impl trait enum map filter reduce select join group order"
+).split()
+_IDENTS = [f"var{i}" for i in range(200)] + [f"fn{i}" for i in range(100)]
+_LANGS = ["py", "java", "scala", "c", "md"]
+
+
+def synth_corpus_rows(n_repos: int = 20, paths_per_repo: int = 15, seed: int = 42):
+    """Pure-python deterministic rows: (repo, path, commit, lang, content).
+
+    Zipfian token frequencies (exercises hot-term salting) and a few exact
+    duplicate contents (exercises the sha256 invariant); includes empty and
+    one-token contents (edge cases per FIXTURES.md F1).
+    """
+    import random
+
+    rng = random.Random(seed)
+    vocab = _KEYWORDS + _IDENTS
+    # Zipf-ish weights over the vocab
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    rows = []
+    dup_content = "def dup_marker return dup_marker"
+    for r in range(n_repos):
+        repo = f"org{r % 5}/proj{r}"
+        for p in range(paths_per_repo):
+            path = f"src/module_{p}.{rng.choice(_LANGS)}"
+            commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+            lang = rng.choice(_LANGS)
+            if (r, p) == (0, 0):
+                content = ""
+            elif (r, p) == (0, 1):
+                content = "singleton"
+            elif p == paths_per_repo - 1 and r < 3:
+                content = dup_content  # exact duplicates across repos
+            else:
+                n_tok = rng.randint(5, 120)
+                content = " ".join(rng.choices(vocab, weights=weights, k=n_tok))
+            rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def synth_corpus(spark: SparkSession, n_repos: int = 20, paths_per_repo: int = 15,
+                 seed: int = 42) -> DataFrame:
+    rows = synth_corpus_rows(n_repos, paths_per_repo, seed)
+    df = spark.createDataFrame(
+        rows, schema="repo string, path string, commit string, lang string, content string"
+    )
+    return with_dense_id(df, ["repo", "path", "commit"], "doc_id").select(
+        "doc_id", "repo", "path", "commit", "lang", "content"
+    )

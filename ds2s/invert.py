@@ -1,0 +1,167 @@
+"""Corpus → inverted index tables (the `create_freq_index` front half).
+
+ds2i consumes already-inverted `.docs`/`.freqs` streams produced by an
+external parser (SURVEY.md §1.1); in this engine the inversion IS the build
+pipeline (SURVEY.md §3.1):
+
+    corpus → tokenize (JVM regexp, no UDF) → posexplode
+           → groupBy(term, doc).count()            # SHUFFLE: partial+final hash agg
+           → [salted two-stage merge for hot terms] # north-rule skew handling
+           → groupBy(term) sorted posting arrays    # docID-sorted invariant
+
+Scale notes (100 TB / 10^12 files):
+- the (term, doc) aggregation has no hot keys (doc spreads every term);
+- the per-term collect is the skewed stage — hot terms are salted by
+  disjoint docID ranges so stage 2 is a concatenation of pre-sorted runs,
+  not a re-sort (BASELINE.json:6 "salted repartitioning of hot terms,
+  two-stage merge of per-partition partial postings");
+- posting arrays per row are bounded in later rounds by block
+  segmentation (ds2s/blocks.py) — a 10^9-posting term never needs to fit
+  one executor row on the serve path, only at encode time per block.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, IndexConfig
+from .corpus import with_dense_id
+
+
+def tokens_col(content: Column | str, pattern: str = DEFAULT_CONFIG.token_pattern) -> Column:
+    """Engine-owned tokenizer: lowercase, extract ``[a-z0-9]+`` runs.
+
+    A pure Catalyst expression (regexp_extract_all) — JVM-side, codegen'd,
+    no Python UDF; DuckDB has the identical builtin, which keeps the
+    correctness oracle symmetric (SURVEY.md §2.7).
+    """
+    c = F.col(content) if isinstance(content, str) else content
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def build_sizes(corpus: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
+    """`.sizes` analogue: (doc_id, len) for EVERY doc, len=0 for empty docs
+    ([U] ds2i/create_wand_data.cpp reads one length per docID)."""
+    return corpus.select(
+        "doc_id", F.size(tokens_col("content", cfg.token_pattern)).alias("len")
+    )
+
+
+def build_tf(corpus: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Flat postings (term, doc_id, tf) — the exact-path representation.
+
+    Two-phase hash aggregation (map-side partial combine) comes free from
+    Catalyst; the shuffle key (term, doc_id) is skew-free.
+    """
+    toks = corpus.select(
+        "doc_id", F.explode(tokens_col("content", cfg.token_pattern)).alias("term")
+    )
+    return toks.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+
+
+def build_lexicon(tf: DataFrame, dense_ids: bool = True) -> DataFrame:
+    """(term, term_id, df): dense termIDs by ORDER BY term (SURVEY.md §7.5).
+
+    Uses the scale-safe range-partitioned dense-id assignment; vocab is
+    tiny relative to the corpus but can still be billions of rows for code,
+    so no single-partition window.
+    """
+    lex = tf.groupBy("term").agg(F.count("*").cast("int").alias("df"))
+    lex = with_dense_id(lex, ["term"], "term_id")
+    return lex.select("term", F.col("term_id").cast("int").alias("term_id"), "df")
+
+
+def build_postings(
+    tf_ids: DataFrame,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(term_id, df, postings: array<struct<doc,tf>>) docID-sorted per term.
+
+    Hot-term salting: terms with df > cfg.hot_term_df are split into
+    cfg.n_salt disjoint docID ranges; stage 1 builds each range's sorted
+    run, stage 2 concatenates runs in range order (already globally sorted
+    — no re-sort).  Cold terms take salt=0, so the same two-stage plan
+    handles both without a union.
+    """
+    n_salt = max(1, cfg.n_salt)
+    # Disjoint ranges: salt = doc_id mod-free bucketing by range keeps runs
+    # concatenable.  We don't know max doc id cheaply per term, so use
+    # doc_id divided by a fixed stride chosen from the global max.
+    max_doc = tf_ids.agg(F.max("doc_id")).collect()[0][0] or 0
+    stride = max(1, (int(max_doc) + n_salt) // n_salt)
+    salted = tf_ids.withColumn(
+        "salt",
+        F.when(F.col("df") > cfg.hot_term_df, (F.col("doc_id") / stride).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+    runs = salted.groupBy("term_id", "df", "salt").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("doc_id").alias("doc"), F.col("tf")))).alias(
+            "run"
+        )
+    )
+    merged = runs.groupBy("term_id", "df").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("salt", "run"))), lambda s: s["run"]
+            )
+        ).alias("postings")
+    )
+    return merged
+
+
+@dataclass
+class InvertedIndex:
+    """In-memory handles to the index tables + collection stats."""
+
+    corpus: DataFrame
+    sizes: DataFrame
+    tf: DataFrame  # (term, term_id, doc_id, tf, df)
+    lexicon: DataFrame  # (term, term_id, df)
+    postings: DataFrame  # (term_id, df, postings array<struct<doc,tf>>)
+    n_docs: int
+    avg_len: float
+    cfg: IndexConfig
+
+    def unpersist(self) -> None:
+        for df in (self.corpus, self.sizes, self.tf, self.lexicon, self.postings):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_index(
+    corpus: DataFrame,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    build_arrays: bool = True,
+) -> InvertedIndex:
+    """Full logical index build (no compression — see ds2s/blocks.py)."""
+    corpus = corpus.persist()
+    sizes = build_sizes(corpus, cfg).persist()
+    tf_terms = build_tf(corpus, cfg)
+    lexicon = build_lexicon(tf_terms).persist()
+    tf = (
+        tf_terms.join(F.broadcast(lexicon), "term")
+        .select("term", "term_id", "doc_id", "tf", "df")
+        .persist()
+    )
+    postings = build_postings(tf, cfg).persist() if build_arrays else None
+    stats = sizes.agg(
+        F.count("*").alias("n"), F.sum("len").alias("total")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avg_len = float(stats["total"]) / n_docs if n_docs else 0.0
+    return InvertedIndex(
+        corpus=corpus,
+        sizes=sizes,
+        tf=tf,
+        lexicon=lexicon,
+        postings=postings,
+        n_docs=n_docs,
+        avg_len=avg_len,
+        cfg=cfg,
+    )

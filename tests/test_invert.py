@@ -1,0 +1,87 @@
+"""Index-build invariants (SURVEY.md §5.4): docID density, posting
+sortedness, salted ≡ unsalted merge, deterministic IDs across parallelism,
+sha256 invariant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_doc_ids_dense(synth_idx):
+    n = synth_idx.corpus.count()
+    stats = synth_idx.corpus.agg(
+        F.min("doc_id"), F.max("doc_id"), F.countDistinct("doc_id")
+    ).collect()[0]
+    assert stats[0] == 0 and stats[1] == n - 1 and stats[2] == n
+
+
+def test_postings_sorted_and_df_consistent(synth_idx):
+    rows = synth_idx.postings.collect()
+    assert rows, "no postings built"
+    for r in rows:
+        docs = [p["doc"] for p in r["postings"]]
+        assert docs == sorted(set(docs)), f"term {r['term_id']} not strictly sorted"
+        assert len(docs) == r["df"]
+        assert all(p["tf"] >= 1 for p in r["postings"])
+
+
+def test_term_ids_dense_by_term(synth_idx):
+    rows = sorted(synth_idx.lexicon.collect(), key=lambda r: r["term"])
+    assert [r["term_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_salted_merge_equals_unsalted(spark):
+    """Two-stage salted merge must be a pure optimization (north rule)."""
+    from ds2s.config import IndexConfig
+    from ds2s.corpus import synth_corpus
+    from ds2s.invert import build_index
+
+    corpus = synth_corpus(spark)
+    salted = build_index(corpus, IndexConfig(hot_term_df=0, n_salt=4))
+    plain = build_index(corpus, IndexConfig(hot_term_df=10**9, n_salt=1))
+    a = {r["term_id"]: r["postings"] for r in salted.postings.collect()}
+    b = {r["term_id"]: r["postings"] for r in plain.postings.collect()}
+    assert a == b
+
+
+def test_dense_ids_independent_of_parallelism(spark):
+    from ds2s.corpus import synth_corpus, with_dense_id
+
+    base = synth_corpus(spark).select("repo", "path", "commit")
+    a = with_dense_id(base, ["repo", "path", "commit"], "id", num_partitions=2)
+    b = with_dense_id(base.repartition(13), ["repo", "path", "commit"], "id",
+                      num_partitions=7)
+    ra = {(r["repo"], r["path"]): r["id"] for r in a.collect()}
+    rb = {(r["repo"], r["path"]): r["id"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_sha256_invariant(spark):
+    import hashlib
+
+    from ds2s.corpus import synth_corpus, with_sha256
+
+    df = with_sha256(synth_corpus(spark))
+    for r in df.collect():
+        assert r["content_sha256"] == hashlib.sha256(
+            r["content"].encode()
+        ).hexdigest()
+
+
+def test_sizes_cover_empty_docs(synth_idx):
+    n = synth_idx.corpus.count()
+    assert synth_idx.sizes.count() == n
+    assert synth_idx.sizes.filter(F.col("len") == 0).count() >= 1  # empty doc fixture
+
+
+def test_tokenizer_edge_cases(spark):
+    from ds2s.invert import tokens_col
+
+    df = spark.createDataFrame(
+        [("MiXeD CaSe 123",), ("",), ("a-b_c",), ("  spaces  ",)], "content string"
+    ).select(tokens_col("content").alias("t"))
+    rows = [r["t"] for r in df.collect()]
+    assert rows[0] == ["mixed", "case", "123"]
+    assert rows[1] == []
+    assert rows[2] == ["a", "b", "c"]
+    assert rows[3] == ["spaces"]
