@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract): run the headline ds2s operators at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Timings: ``build`` is the full index build (corpus scan → tokenize →
+invert → posting arrays → stats, all materialized); each query entry is
+the wall time to execute + materialize that operator's result.  Everything
+downstream of ``build`` reuses the persisted index, mirroring ds2i's
+build-once / query-many benchmark semantics ([U] ds2i/queries.cpp timing
+loop; SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ds2s.session import get_spark
+
+    spark = get_spark(app=f"ds2s-bench-{sf}", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    idx = E._index(spark, sf_dir)
+    # materialize every persisted table the queries rely on
+    idx.sizes.count()
+    idx.tf.count()
+    idx.lexicon.count()
+    idx.postings.count()
+    timings["build"] = round(time.perf_counter() - t0, 3)
+
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "ds2s_build_plus_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
