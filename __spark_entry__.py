@@ -18,11 +18,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from ds2s import oracle as O  # noqa: E402
 from ds2s import query as Q  # noqa: E402
 from ds2s import wand as W  # noqa: E402
+from ds2s.blocks import decode_blocks_flat, index_size_report  # noqa: E402
 from ds2s.corpus import load_documents  # noqa: E402
 from ds2s.invert import InvertedIndex, build_index  # noqa: E402
 from ds2s.queryset import DEFAULT_K  # noqa: E402
+from ds2s.serve import ServingIndex  # noqa: E402
 
 _IDX_CACHE: dict[str, InvertedIndex] = {}
+_SIDX_CACHE: dict[str, ServingIndex] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
@@ -30,6 +33,13 @@ def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key not in _IDX_CACHE:
         _IDX_CACHE[key] = build_index(load_documents(spark, key), build_arrays=True)
     return _IDX_CACHE[key]
+
+
+def _sindex(spark: SparkSession, sf_dir: str) -> ServingIndex:
+    key = sf_dir.rstrip("/")
+    if key not in _SIDX_CACHE:
+        _SIDX_CACHE[key] = ServingIndex(_index(spark, sf_dir), codec="pef")
+    return _SIDX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -96,6 +106,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .orderBy("term_id", "block_id")
         ),
+        # --- compressed block table + pruned serving (ds2s.blocks / .serve) ---
+        "blocks_decode_check": lambda spark, sf: decode_blocks_flat(
+            _sindex(spark, sf).blocks
+        ).orderBy("term_id", "pos"),
+        "bmw_topk": lambda spark, sf: _sindex(spark, sf).topk(
+            Q.queries_df(spark), k=DEFAULT_K, algo="bmw"
+        ),
+        "maxscore_topk": lambda spark, sf: _sindex(spark, sf).topk(
+            Q.queries_df(spark), k=DEFAULT_K, algo="maxscore"
+        ),
+        "index_size_report": lambda spark, sf: index_size_report(
+            _sindex(spark, sf).blocks
+        ),
     }
 
 
@@ -112,4 +135,10 @@ def oracle_sql() -> dict[str, str]:
         "or_count": O.sql_or_count(),
         "wand_max": O.sql_wand_max(),
         "block_max": O.sql_block_max(),
+        # decode-all must equal the uncompressed postings (--check analogue)
+        "blocks_decode_check": O.sql_postings_arrays(),
+        # pruning is score-safe: BMW/MaxScore ≡ exhaustive ranked-OR
+        "bmw_topk": O.sql_ranked_or(DEFAULT_K),
+        "maxscore_topk": O.sql_ranked_or(DEFAULT_K),
+        # index_size_report: codec-dependent byte counts — rows-only check
     }

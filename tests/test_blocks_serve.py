@@ -1,0 +1,166 @@
+"""Block-table encode/decode (--check analogue) + pruned-serving exactness.
+
+Mirrors the reference's strongest checks (SURVEY.md §5):
+- decode-all equality: block table round-trips to the flat postings
+  ([U] ds2i/create_freq_index.cpp --check);
+- oracle equality: BMW / MaxScore top-k ≡ exhaustive ranked-OR
+  ([U] ds2i/test/test_ranked_queries.cpp).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ds2s import query as Q
+from ds2s.blocks import decode_blocks_flat, encode_blocks, index_size_report
+from ds2s.queryset import DEFAULT_K
+from ds2s.serve import ServingIndex
+
+
+def _flat_expected(idx) -> pd.DataFrame:
+    return (
+        idx.tf.select("term_id", "doc_id", "tf")
+        .orderBy("term_id", "doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("codec", ["ef", "pef", "uniform_pef", "optpfd", "gvb", "auto"])
+def test_decode_all_roundtrip(synth_idx, codec):
+    blocks = encode_blocks(synth_idx.postings, synth_idx.n_docs, codec=codec)
+    got = (
+        decode_blocks_flat(blocks)
+        .orderBy("term_id", "pos")
+        .select("term_id", "doc_id", "tf")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = _flat_expected(synth_idx)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_names=False
+    )
+
+
+def test_block_structure(synth_idx):
+    blocks = encode_blocks(synth_idx.postings, synth_idx.n_docs, codec="pef").toPandas()
+    # every block ≤ 128 postings; first/last consistent; block_ids dense per term
+    assert (blocks["n"] <= 128).all() and (blocks["n"] >= 1).all()
+    assert (blocks["first_doc"] <= blocks["last_doc"]).all()
+    for _, g in blocks.groupby("term_id"):
+        bids = sorted(g["block_id"])
+        assert bids == list(range(len(bids)))
+        g = g.sort_values("block_id")
+        # non-overlapping, increasing block ranges
+        assert (g["first_doc"].values[1:] > g["last_doc"].values[:-1]).all()
+        # all full except possibly the last
+        assert (g["n"].values[:-1] == 128).all()
+
+
+def test_size_report_sanity(synth_idx):
+    blocks = encode_blocks(synth_idx.postings, synth_idx.n_docs, codec="auto")
+    r = index_size_report(blocks).collect()[0]
+    assert r["n_postings"] == synth_idx.tf.count()
+    assert r["bits_per_doc"] > 0 and r["bits_per_tf"] > 0
+
+
+def test_pef_beats_ef_on_long_clustered_list(spark):
+    """The SIGIR'14 ordering (PEF < EF on clustered docID lists) holds at
+    whole-list granularity where chunk headers amortize — per-list fixed
+    overhead dominates on short lists, which is why ``auto`` exists."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # clustered: dense runs separated by large gaps (universe 2^20)
+    runs = []
+    base = 0
+    for _ in range(200):
+        base += int(rng.integers(1, 8000))
+        runs.append(np.arange(base, base + int(rng.integers(50, 400))))
+        base = int(runs[-1][-1]) + 1
+    docs = np.concatenate(runs).astype("int64")
+    universe = int(docs[-1]) + 1
+    tfs = np.ones(len(docs), dtype="int64")
+    rows = [(0, int(len(docs)), [{"doc": int(d), "tf": 1} for d in docs])]
+    pdf = spark.createDataFrame(
+        rows, schema="term_id int, df int, postings array<struct<doc:long,tf:int>>"
+    )
+    sizes = {}
+    for codec in ("ef", "pef"):
+        blocks = encode_blocks(pdf, universe, codec=codec, block_size=1 << 30)
+        sizes[codec] = index_size_report(blocks).collect()[0]["doc_bytes"]
+    assert sizes["pef"] < sizes["ef"]
+
+
+@pytest.fixture(scope="module")
+def sidx001(idx001):
+    return ServingIndex(idx001, codec="pef")
+
+
+@pytest.mark.parametrize("algo", ["bmw", "maxscore"])
+def test_pruned_equals_exhaustive_fixture(spark, idx001, sidx001, algo):
+    qdf = Q.queries_df(spark)
+    exact = (
+        Q.ranked_or_topk(idx001, qdf, k=DEFAULT_K)
+        .orderBy("qid", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pruned = (
+        sidx001.topk(qdf, k=DEFAULT_K, algo=algo)
+        .orderBy("qid", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        pruned.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False,
+        atol=1e-8,
+    )
+
+
+@pytest.mark.parametrize("algo,codec", [("bmw", "optpfd"), ("maxscore", "gvb"), ("bmw", "auto")])
+def test_pruned_equals_exhaustive_synth(spark, synth_idx, algo, codec):
+    """Synthetic Zipfian corpus (multi-block hot terms) across codecs."""
+    sidx = ServingIndex(synth_idx, codec=codec)
+    qdf = Q.queries_df(
+        spark,
+        rows=[
+            (0, 0, "def"),
+            (0, 1, "return"),
+            (1, 0, "var0"),
+            (1, 1, "var1"),
+            (1, 2, "fn0"),
+            (2, 0, "class"),
+            (3, 0, "dup_marker"),
+            (4, 0, "zzznope"),
+            (5, 0, "def"),
+            (5, 1, "def"),  # duplicate cursor
+            (6, 0, "import"),
+            (6, 1, "zzznope"),
+            (7, 0, "the"),
+            (7, 1, "var5"),
+            (7, 2, "match"),
+        ],
+    )
+    exact = (
+        Q.ranked_or_topk(synth_idx, qdf, k=5)
+        .orderBy("qid", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pruned = (
+        sidx.topk(qdf, k=5, algo=algo)
+        .orderBy("qid", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        pruned.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False,
+        atol=1e-8,
+    )
