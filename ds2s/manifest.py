@@ -1,0 +1,210 @@
+"""Checkpointed, resumable index persistence with per-partition lineage.
+
+The reference freezes one mmap blob ([U] succinct/mapper.hpp freeze/map —
+upstream ot/ds2i layout); at 10^12-file scale the index must instead be a
+set of *partitioned tables* written segment-by-segment so a failed build
+resumes where it stopped (north rule: "checkpoints per-partition posting
+segments ... resumable builds with lineage + metrics", BASELINE.json:14).
+
+Layout under ``out_dir`` (parquet in the sandbox; the same layout maps to
+Iceberg partitioned tables when a runtime jar is present, SURVEY.md §1.6):
+
+    corpus_manifest/            doc_id, content_sha256   (per-row invariant)
+    sizes/  lexicon/            dimension tables
+    blocks/bucket=K/            encoded posting blocks, bucket = term_id % B
+    manifest.jsonl              one line per completed unit: lineage + metrics
+    _index.json                 frozen IndexConfig + collection stats
+
+Resume protocol: a bucket is complete iff its manifest line exists —
+manifest lines are appended via atomic rename AFTER the bucket's parquet
+write succeeds, so a crash mid-bucket leaves no line and the bucket is
+rewritten idempotently (overwrite) on the next run.  Each line carries
+lineage (source path, config hash) + metrics (rows, bytes, wall seconds),
+the "_metrics table" of SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .blocks import encode_blocks
+from .config import DEFAULT_CONFIG, IndexConfig
+from .corpus import with_sha256
+from .invert import InvertedIndex
+
+
+def _config_fingerprint(cfg: IndexConfig) -> str:
+    import hashlib
+
+    return hashlib.sha256(json.dumps(asdict(cfg), sort_keys=True).encode()).hexdigest()[:16]
+
+
+class IndexStore:
+    """One on-disk index; ``write_checkpointed`` is restartable."""
+
+    def __init__(self, out_dir: str):
+        self.root = Path(out_dir)
+        self.manifest_path = self.root / "manifest.jsonl"
+
+    # -- manifest ----------------------------------------------------------
+    def completed_units(self) -> dict[str, dict]:
+        units: dict[str, dict] = {}
+        if self.manifest_path.exists():
+            for line in self.manifest_path.read_text().splitlines():
+                if line.strip():
+                    row = json.loads(line)
+                    units[row["unit"]] = row
+        return units
+
+    def _append_manifest(self, row: dict) -> None:
+        """Atomic append: rewrite to tmp + rename (POSIX atomic)."""
+        rows = list(self.completed_units().values())
+        rows.append(row)
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text("".join(json.dumps(r) + "\n" for r in rows))
+        os.replace(tmp, self.manifest_path)
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        rows = list(self.completed_units().values())
+        return spark.createDataFrame(
+            [
+                (
+                    r["unit"], r["source"], r["config"], r["n_rows"],
+                    r.get("bytes", 0), float(r["wall_s"]),
+                )
+                for r in rows
+            ],
+            schema="unit string, source string, config string, n_rows long, "
+            "bytes long, wall_s double",
+        )
+
+    # -- write -------------------------------------------------------------
+    def write_checkpointed(
+        self,
+        idx: InvertedIndex,
+        source: str,
+        codec: str | None = None,
+        n_buckets: int = 8,
+        fail_after_units: int | None = None,
+        content_col: str = "content",
+    ) -> int:
+        """Write all index tables; returns number of units written THIS run.
+
+        ``fail_after_units`` injects a crash after N fresh units (test hook
+        for the kill/rerun resume property, SURVEY.md §7 Milestone 5).
+        """
+        cfg = idx.cfg
+        fp = _config_fingerprint(cfg)
+        done = self.completed_units()
+        written = 0
+
+        def unit(name: str, fn) -> None:
+            nonlocal written
+            if name in done:
+                return
+            if fail_after_units is not None and written >= fail_after_units:
+                raise RuntimeError(f"injected failure before unit {name}")
+            t0 = time.perf_counter()
+            n_rows, nbytes = fn()
+            self._append_manifest(
+                {
+                    "unit": name,
+                    "source": source,
+                    "config": fp,
+                    "n_rows": int(n_rows),
+                    "bytes": int(nbytes),
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+            )
+            written += 1
+
+        def plain(df: DataFrame, sub: str):
+            def run():
+                df.write.mode("overwrite").parquet(str(self.root / sub))
+                return df.count(), _dir_bytes(self.root / sub)
+
+            return run
+
+        # per-row sha256 invariant vs the source (BASELINE.json:15)
+        unit(
+            "corpus_manifest",
+            plain(
+                with_sha256(idx.corpus, content_col).select("doc_id", "content_sha256"),
+                "corpus_manifest",
+            ),
+        )
+        unit("sizes", plain(idx.sizes, "sizes"))
+        unit("lexicon", plain(idx.lexicon, "lexicon"))
+
+        blocks = encode_blocks(idx.postings, idx.n_docs, cfg, codec=codec)
+        blocks = blocks.withColumn("bucket", F.col("term_id") % n_buckets)
+        for k in range(n_buckets):
+            sub = f"blocks/bucket={k}"
+
+            def write_bucket(k=k, sub=sub):
+                part = blocks.filter(F.col("bucket") == k).drop("bucket")
+                part.write.mode("overwrite").parquet(str(self.root / sub))
+                return part.count(), _dir_bytes(self.root / sub)
+
+            unit(f"blocks_bucket_{k}", write_bucket)
+
+        if "_index" not in done:
+            stats = {
+                "n_docs": idx.n_docs,
+                "avg_len": idx.avg_len,
+                "config": asdict(cfg),
+                "config_fingerprint": fp,
+                "codec": codec or cfg.doc_codec,
+                "n_buckets": n_buckets,
+                "source": source,
+            }
+            (self.root / "_index.json").write_text(json.dumps(stats, indent=2))
+            self._append_manifest(
+                {
+                    "unit": "_index",
+                    "source": source,
+                    "config": fp,
+                    "n_rows": 1,
+                    "bytes": 0,
+                    "wall_s": 0.0,
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+            )
+            written += 1
+        return written
+
+    # -- load --------------------------------------------------------------
+    def load_blocks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.root / "blocks"))
+
+    def load_meta(self) -> dict:
+        return json.loads((self.root / "_index.json").read_text())
+
+    def verify_sha256(self, corpus: DataFrame, content_col: str = "content") -> int:
+        """Rows whose stored sha256 differs from the live source (must be 0)."""
+        spark = corpus.sparkSession
+        stored = spark.read.parquet(str(self.root / "corpus_manifest"))
+        live = with_sha256(corpus, content_col).select(
+            "doc_id", F.col("content_sha256").alias("live_sha")
+        )
+        return (
+            stored.join(live, "doc_id", "full")
+            .filter(
+                (F.col("content_sha256") != F.col("live_sha"))
+                | F.col("content_sha256").isNull()
+                | F.col("live_sha").isNull()
+            )
+            .count()
+        )
+
+
+def _dir_bytes(p: Path) -> int:
+    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
