@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from ds2s import ann, dedup, multimodal, textops  # noqa: E402
 from ds2s import oracle as O  # noqa: E402
+from ds2s import oracle_text as OT  # noqa: E402
 from ds2s import query as Q  # noqa: E402
 from ds2s import wand as W  # noqa: E402
 from ds2s.blocks import decode_blocks_flat, index_size_report  # noqa: E402
@@ -119,7 +121,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_size_report": lambda spark, sf: index_size_report(
             _sindex(spark, sf).blocks
         ),
+        # --- training-data pipeline operators (ds2s.textops/.dedup/.ann/...) ---
+        "token_count": lambda spark, sf: textops.token_count(_docs(spark, sf)),
+        "quality_score": lambda spark, sf: textops.quality_score(_docs(spark, sf)),
+        "langid": lambda spark, sf: textops.langid(_docs(spark, sf)),
+        "fingerprint": lambda spark, sf: textops.fingerprint(_docs(spark, sf)),
+        "exact_dup_groups": lambda spark, sf: dedup.exact_dup_groups(_docs(spark, sf)),
+        "jaccard_pairs": lambda spark, sf: dedup.jaccard_pairs(
+            _docs(spark, sf), threshold=0.2
+        ),
+        "minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf)),
+        "simhash64": lambda spark, sf: dedup.simhash64(_docs(spark, sf)),
+        "embedding_near_dup": lambda spark, sf: dedup.embedding_near_dup(
+            _embs(spark, sf), threshold=0.5
+        ),
+        "ann_bruteforce_topk": lambda spark, sf: ann.bruteforce_topk(_embs(spark, sf)),
+        "ann_lsh_topk": lambda spark, sf: ann.lsh_topk(_embs(spark, sf)),
+        "byte_histogram": lambda spark, sf: multimodal.byte_histogram(
+            multimodal.media_table(_docs(spark, sf))
+        ),
+        "frame_sample": lambda spark, sf: multimodal.frame_sample(
+            multimodal.media_table(_docs(spark, sf))
+        ),
     }
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -141,4 +173,17 @@ def oracle_sql() -> dict[str, str]:
         "bmw_topk": O.sql_ranked_or(DEFAULT_K),
         "maxscore_topk": O.sql_ranked_or(DEFAULT_K),
         # index_size_report: codec-dependent byte counts — rows-only check
+        "token_count": OT.sql_token_count(),
+        "quality_score": OT.sql_quality_score(),
+        "langid": OT.sql_langid(),
+        "fingerprint": OT.sql_fingerprint(),
+        "exact_dup_groups": OT.sql_exact_dup_groups(),
+        "jaccard_pairs": OT.sql_jaccard_pairs(threshold=0.2),
+        "minhash_lsh_pairs": OT.sql_minhash_lsh_pairs(),
+        "simhash64": OT.sql_simhash64(),
+        "embedding_near_dup": OT.sql_embedding_near_dup(threshold=0.5),
+        "ann_bruteforce_topk": OT.sql_ann_bruteforce_topk(),
+        # ann_lsh_topk: approximate (recall property-tested) — rows-only
+        "byte_histogram": OT.sql_byte_histogram(),
+        # frame_sample: binary payload slices — rows-only (pytest-verified)
     }

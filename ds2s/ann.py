@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (array<float>).
+
+Training-data pipeline operator (see ds2s.textops docstring for scope).
+
+- ``bruteforce_topk``: exact cosine top-k — flat scan, broadcast queries,
+  JVM-side ``zip_with``/``aggregate`` dot products (no Python), per-query
+  top-k via window.  The correctness oracle.
+- ``lsh_topk``: random-hyperplane LSH — deterministic planes derived from
+  md5 (no RNG state, reproducible across cluster sizes), bucket join with
+  Hamming-1 multi-probe on the query side, exact rerank within buckets.
+  Sub-linear candidate set; recall < 1 by design (property-tested against
+  the brute-force oracle, rows-only driver check).  Plane count trades
+  recall for candidate volume: the sign-collision probability per plane is
+  1 − θ/π, so tightly-clustered real embedding spaces take more planes
+  than the near-uniform fixture vectors (defaults tuned for the latter).
+
+Scale: brute force shuffles nothing (queries broadcast, one pass over the
+collection, TakeOrderedAndProject per query); LSH adds one narrow signature
+projection and joins on (bucket) — at 10^9 vectors the bucket join replaces
+the full scan per query, and multiple probe tables (``n_tables``) trade
+recall for cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.select(
+        "vec_id", F.transform(col, lambda x: x.cast("double")).alias("v")
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ),
+    )
+
+
+def default_queries(embeddings: DataFrame, every: int = 97) -> DataFrame:
+    """Deterministic query subset: vec_id % every == 0."""
+    return embeddings.filter(F.col("vec_id") % every == 0)
+
+
+def bruteforce_topk(
+    embeddings: DataFrame, queries: DataFrame | None = None, k: int = 10
+) -> DataFrame:
+    """(qid, rank, vec_id, cosine) exact top-k by (cosine DESC, vec_id ASC),
+    self-matches excluded; cosine ranked at 6 decimals, emitted at 6."""
+    queries = queries if queries is not None else default_queries(embeddings)
+    base = _as_double(embeddings)
+    q = _as_double(queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
+def _planes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes: sign of byte j of md5(table:plane:dim-
+    block).  Pure function of (table, plane, dim) — identical on every
+    executor and at any parallelism."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        raw = b""
+        blk = 0
+        while len(raw) < dim:
+            raw += hashlib.md5(f"{table}:{p}:{blk}".encode()).digest()
+            blk += 1
+        bits = np.frombuffer(raw[:dim], dtype=np.uint8)
+        out[p] = np.where(bits & 1 == 1, 1.0, -1.0)
+    return out
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 6, n_tables: int = 4
+) -> DataFrame:
+    """(vec_id, table, bucket) — sign-pattern bucket per hash table,
+    computed in one Arrow-batched matmul per partition."""
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = [_planes(dim, n_planes, t) for t in range(n_tables)]
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+
+    def sig(batches):
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            rows = []
+            for t, P in enumerate(planes):
+                bits = (M @ P.T) > 0
+                buckets = (bits.astype(np.uint64) @ weights).astype(np.int64)
+                rows.append(
+                    pd.DataFrame(
+                        {"vec_id": pdf["vec_id"], "table": t, "bucket": buckets}
+                    )
+                )
+            yield pd.concat(rows)
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        sig, schema="vec_id long, table int, bucket long"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """(qid, rank, vec_id, cosine) approximate top-k: candidates = vectors
+    sharing an LSH bucket with the query in ANY table; the query probes its
+    own bucket plus all Hamming-≤``multiprobe`` neighbors (standard
+    multi-probe LSH); candidates are exact-ranked."""
+    queries = queries if queries is not None else default_queries(embeddings)
+    buckets = lsh_buckets(embeddings, n_planes, n_tables)
+    probes = [0] + ([1 << j for j in range(n_planes)] if multiprobe >= 1 else [])
+    qb = (
+        buckets.join(queries.select("vec_id"), "vec_id")
+        .withColumn("probe", F.explode(F.array(*[F.lit(p) for p in probes])))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "table",
+            F.col("bucket").bitwiseXOR(F.col("probe")).alias("bucket"),
+        )
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    base = _as_double(embeddings)
+    q = _as_double(queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .withColumn("cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cosine")
+    )

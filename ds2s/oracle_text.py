@@ -1,0 +1,236 @@
+"""DuckDB oracles for the training-data pipeline operators (ds2s.textops,
+ds2s.dedup, ds2s.ann, ds2s.multimodal).
+
+Same contract as ds2s.oracle: each SQL string recomputes the operator from
+the raw ``documents`` / ``embeddings`` views with byte-identical semantics
+— md5 hex hashes, lexicographic minima, frozen literal word lists, 6-decimal
+rounding before ranking/threshold comparisons.
+"""
+
+from __future__ import annotations
+
+from .dedup import N_BANDS, N_PERM
+from .textops import LANG_PROFILES, SHINGLE_K, STOPWORDS_EN
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_SHINGLES = f"""
+CASE WHEN len(toks) >= {SHINGLE_K}
+     THEN list_transform(generate_series(1, len(toks) - {SHINGLE_K - 1}),
+                         i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+     ELSE CAST([] AS VARCHAR[]) END"""
+
+_SH_CTES = f"""
+shd AS (
+  SELECT doc_id, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shd)"""
+
+
+def sql_token_count() -> str:
+    return f"""
+SELECT doc_id,
+       cast(len(toks) AS INT) AS n_tokens,
+       cast(len(list_distinct(toks)) AS INT) AS n_distinct,
+       cast(length(text) AS INT) AS n_chars
+FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+ORDER BY doc_id"""
+
+
+def sql_quality_score() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOK} AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+         cast(len(toks) AS INT) AS n_tokens,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS alnum,
+         coalesce(len(list_filter(toks, t -> t IN ({stop_list}))), 0) AS n_stop,
+         n_chars
+  FROM base
+), ratios AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars > 0 THEN round(alnum * 1.0 / n_chars, 6) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_tokens > 0 THEN round(n_stop * 1.0 / n_tokens, 6) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tokens > 0 THEN round(alnum * 1.0 / n_tokens, 6) ELSE 0.0 END AS avg_token_len
+  FROM r
+)
+SELECT doc_id, n_tokens, alpha_ratio, stop_ratio, avg_token_len,
+       round(0.5 * least(1.0, n_tokens / 100.0)
+           + 0.3 * stop_ratio
+           + 0.2 * least(1.0, avg_token_len / 8.0), 6) AS quality
+FROM ratios ORDER BY doc_id"""
+
+
+def sql_langid() -> str:
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_PROFILES.items())
+        for w in words
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS word FROM documents
+), prof(plang, word) AS (VALUES {vals}),
+hits AS (
+  SELECT doc_id, plang, count(*) AS hits
+  FROM tok JOIN prof USING (word) GROUP BY doc_id, plang
+), best AS (
+  SELECT doc_id, plang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.plang, 'und') AS pred_lang,
+       cast(coalesce(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id"""
+
+
+def sql_fingerprint() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_min(list_transform({_SHINGLES}, s -> md5(s))) AS shingle_min
+FROM t ORDER BY doc_id"""
+
+
+def sql_exact_dup_groups() -> str:
+    return """
+SELECT md5(text) AS content_md5,
+       cast(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS first_doc
+FROM documents GROUP BY content_md5 HAVING count(*) >= 2
+ORDER BY content_md5"""
+
+
+def sql_jaccard_pairs(threshold: float = 0.7, max_shingle_df: int = 100) -> str:
+    return f"""
+WITH {_SH_CTES},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_shingle_df}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+def sql_minhash_lsh_pairs(n_perm: int = N_PERM, n_bands: int = N_BANDS) -> str:
+    rpb = n_perm // n_bands
+    return f"""
+WITH {_SH_CTES},
+perms AS (SELECT unnest(generate_series(0, {n_perm - 1})) AS perm),
+sig AS (
+  SELECT doc_id, perm,
+         min(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {rpb}) AS INT) AS band,
+         string_agg(minhash, '|' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+def sql_simhash64() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+hh AS (SELECT doc_id, tf, substr(md5(term), 1, 16) AS h FROM tf),
+bits AS (SELECT unnest(generate_series(0, 63)) AS bit),
+acc AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, CAST(floor(bit / 4) AS INT) + 1, 1)) - 1)
+                        >> (3 - bit % 4)) & 1 = 1
+                  THEN tf ELSE -tf END) AS s
+  FROM hh CROSS JOIN bits GROUP BY doc_id, bit
+),
+nibs AS (
+  SELECT doc_id, CAST(floor(bit / 4) AS INT) AS nibble,
+         sum(CASE WHEN s > 0 THEN (1 << (3 - bit % 4)) ELSE 0 END) AS nibval
+  FROM acc GROUP BY doc_id, nibble
+)
+SELECT doc_id, string_agg(lower(to_hex(nibval)), '' ORDER BY nibble) AS simhash
+FROM nibs GROUP BY doc_id ORDER BY doc_id"""
+
+
+_VEC_CTES = """
+vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM vv
+)"""
+
+
+def sql_embedding_near_dup(threshold: float = 0.95) -> str:
+    return f"""
+WITH {_VEC_CTES},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+               / (a.norm * b.norm), 6) AS cosine
+  FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+ORDER BY vec_a, vec_b"""
+
+
+def sql_ann_bruteforce_topk(k: int = 10, every: int = 97) -> str:
+    return f"""
+WITH {_VEC_CTES},
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM vn WHERE vec_id % {every} = 0),
+scored AS (
+  SELECT q.qid, vn.vec_id,
+         round(list_sum(list_transform(list_zip(q.qv, vn.v), x -> x[1] * x[2]))
+               / (vn.norm * q.qnorm), 6) AS cosine
+  FROM vn CROSS JOIN q WHERE vn.vec_id != q.qid
+)
+SELECT qid, cast(rank AS INT) AS rank, vec_id, cosine FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k} ORDER BY qid, rank"""
+
+
+def sql_byte_histogram(n_buckets: int = 16) -> str:
+    """Byte-bucket histogram of the utf-8 payload (ASCII corpus verified in
+    FIXTURES.md, so char codepoints == bytes)."""
+    return f"""
+WITH chars AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text)),
+                               i -> ascii(substr(text, i, 1)))) AS code
+  FROM documents WHERE length(text) > 0
+),
+h AS (
+  SELECT doc_id, CAST(floor(code / {256 // n_buckets}) AS INT) AS bucket,
+         count(*) AS cnt
+  FROM chars GROUP BY doc_id, bucket
+),
+tot AS (SELECT doc_id, sum(cnt) AS n FROM h GROUP BY doc_id)
+SELECT h.doc_id, h.bucket, cast(h.cnt AS BIGINT) AS cnt,
+       round(h.cnt * 1.0 / t.n, 6) AS frac
+FROM h JOIN tot t ON h.doc_id = t.doc_id
+ORDER BY h.doc_id, h.bucket"""

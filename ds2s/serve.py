@@ -42,6 +42,7 @@ from .blocks import encode_blocks
 from .codecs import decode_docs, decode_tfs
 from .config import DEFAULT_CONFIG, IndexConfig
 from .invert import InvertedIndex
+from .util import round_half_up
 from .wand import build_block_max, build_wand_max
 
 _UB_MARGIN = 1.0 + 1e-9
@@ -116,8 +117,8 @@ def _sweep_topk(
     keep = surv[np.clip(ii, 0, len(surv) - 1)]
     ud, scores = ud[keep], scores[keep]
 
-    # --- exact top-k, frozen tie discipline ---
-    rs = np.round(scores, rank_round) if rank_round is not None else scores
+    # --- exact top-k, frozen tie discipline (half-up rounding = F.round) ---
+    rs = round_half_up(scores, rank_round) if rank_round is not None else scores
     order = np.lexsort((ud, -rs))[:k]
     return ud[order], scores[order]
 
@@ -181,7 +182,7 @@ def _make_kernel(k, algo, scorer, avg_len, lens_bc, rank_round):
         docs, scores = _sweep_topk(
             per_term, k, theta0, sdocs, lb, lens, avg_len, scorer, rank_round
         )
-        out_scores = np.round(scores, 4) if rank_round is not None else scores
+        out_scores = round_half_up(scores, 4) if rank_round is not None else scores
         return pd.DataFrame(
             {
                 "qid": np.full(len(docs), qid, dtype=np.int32),

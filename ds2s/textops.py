@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not part of ds2i (the reference consumes pre-parsed termID streams,
+SURVEY.md §1.1) — these are the corpus-preparation operators a 100 TB
+training-data pipeline runs in front of the index build: token counting,
+quality scoring, language-ID, document fingerprinting.  Every operator is
+pure Catalyst column math over the engine tokenizer (no Python in the hot
+path) and has a byte-identical DuckDB oracle (ds2s.oracle_text).
+
+Semantics are frozen and deliberately simple-deterministic:
+- tokens: ``regexp_extract_all(lower(text), '[a-z0-9]+')`` (engine
+  tokenizer, ds2s.invert.tokens_col);
+- stopword/profile sets are literal frozen lists;
+- hashes are ``md5`` hex strings (identical builtin in Spark and DuckDB),
+  compared lexicographically where a min-hash is needed.
+
+Scale: all operators are narrow per-row transforms (no shuffle) except
+``langid``'s profile join (broadcast of a literal tiny table) — they
+stream over any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG
+from .invert import tokens_col
+
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+# language → frozen profile words (argmax hits wins; 'und' when zero hits)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "das", "nicht"),
+    "en": ("the", "a", "and", "of", "is", "for"),
+    "es": ("el", "los", "y", "que", "las", "por"),
+    "fr": ("le", "la", "et", "les", "une", "dans"),
+}
+
+SHINGLE_K = 3
+
+
+def _toks(text: str = "text") -> Column:
+    return tokens_col(text, DEFAULT_CONFIG.token_pattern)
+
+
+def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
+    """w-shingles: space-joined k-grams of the token stream; a document
+    shorter than k tokens contributes its whole token stream as the single
+    shingle (so near-dup detection still covers tiny docs)."""
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+    return F.when(F.size(tokens) >= k, kgrams).otherwise(
+        F.when(F.size(tokens) > 0, F.array(F.array_join(tokens, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_chars) — whitespace+regex token
+    accounting (BPE-less proxy; the per-doc `.sizes` input, SURVEY.md §1.1)."""
+    t = _toks()
+    return documents.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, alpha_ratio, stop_ratio, avg_token_len, quality).
+
+    Frozen heuristic: length, alphanumeric density, stopword density —
+    the standard cheap pre-training quality gates.  quality ∈ [0, 1].
+    """
+    t = _toks()
+    d = documents.select("doc_id", F.length("text").alias("n_chars"), t.alias("toks"))
+    alnum = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("double")
+    n_tok = F.size("toks").cast("double")
+    n_stop = F.size(
+        F.filter("toks", lambda x: x.isin(*STOPWORDS_EN))
+    ).cast("double")
+    d = d.select(
+        "doc_id",
+        F.col("n_chars"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.when(F.col("n_chars") > 0, F.round(alnum / F.col("n_chars"), 6))
+        .otherwise(F.lit(0.0)).alias("alpha_ratio"),
+        F.when(n_tok > 0, F.round(n_stop / n_tok, 6)).otherwise(F.lit(0.0)).alias(
+            "stop_ratio"
+        ),
+        F.when(n_tok > 0, F.round(alnum / n_tok, 6)).otherwise(F.lit(0.0)).alias(
+            "avg_token_len"
+        ),
+    )
+    q = (
+        F.lit(0.5) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.3) * F.col("stop_ratio")
+        + F.lit(0.2) * F.least(F.lit(1.0), F.col("avg_token_len") / F.lit(8.0))
+    )
+    return d.select(
+        "doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "avg_token_len",
+        F.round(q, 6).alias("quality"),
+    ).drop("n_chars")
+
+
+def langid(documents: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, hits) — stopword-profile n-gram heuristic.
+
+    Relational argmax: explode tokens, broadcast-join the literal profile
+    table, count hits per (doc, lang), keep the top row by
+    (hits DESC, lang ASC); docs with zero hits predict 'und'.
+    """
+    spark = documents.sparkSession
+    prof = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_PROFILES.items()) for w in words],
+        schema="plang string, word string",
+    )
+    toks = documents.select("doc_id", F.explode(_toks()).alias("word"))
+    hits = (
+        toks.join(F.broadcast(prof), "word")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("plang").asc())
+    best = hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        documents.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("plang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, content_md5, shingle_min) — exact + fuzzy fingerprints.
+
+    ``content_md5`` is the exact-dup key; ``shingle_min`` is a 1-permutation
+    MinHash over 3-gram shingles (lexicographic min of md5 hex — the same
+    construction, widened to k permutations, drives ds2s.dedup.minhash)."""
+    t = _toks()
+    sh = shingles_col(t)
+    return documents.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("shingle_min"),
+    )

@@ -1,0 +1,182 @@
+"""Training-data pipeline operators vs DuckDB oracles (sf0.001) +
+property tests for the approximate/stubbed paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from compare_util import assert_match, duck_run
+
+from ds2s import ann, dedup, multimodal, oracle_text as OT, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+# ---------------------------------------------------------------- textops
+def test_token_count(docs):
+    assert_match(textops.token_count(docs), duck_run(OT.sql_token_count(), SF), "token_count")
+
+
+def test_quality_score(docs):
+    assert_match(
+        textops.quality_score(docs), duck_run(OT.sql_quality_score(), SF), "quality"
+    )
+
+
+def test_langid(docs):
+    assert_match(textops.langid(docs), duck_run(OT.sql_langid(), SF), "langid")
+
+
+def test_fingerprint(docs):
+    assert_match(
+        textops.fingerprint(docs), duck_run(OT.sql_fingerprint(), SF), "fingerprint"
+    )
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dup_groups(docs):
+    assert_match(
+        dedup.exact_dup_groups(docs),
+        duck_run(OT.sql_exact_dup_groups(), SF),
+        "exact_dups",
+    )
+
+
+def test_jaccard_pairs(docs):
+    assert_match(
+        dedup.jaccard_pairs(docs, threshold=0.2),
+        duck_run(OT.sql_jaccard_pairs(threshold=0.2), SF),
+        "jaccard",
+    )
+
+
+def test_minhash_lsh_pairs(docs):
+    assert_match(
+        dedup.minhash_lsh_pairs(docs),
+        duck_run(OT.sql_minhash_lsh_pairs(), SF),
+        "minhash_lsh",
+    )
+
+
+def test_minhash_candidates_cover_high_jaccard(spark):
+    """LSH recall property: near-identical docs land in the same band."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near-dup
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides in every band
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # disjoint shingles
+
+
+def test_simhash64(docs):
+    assert_match(dedup.simhash64(docs), duck_run(OT.sql_simhash64(), SF), "simhash")
+
+
+def test_simhash_pure_python_oracle(spark):
+    """Relational SimHash ≡ straightforward per-doc python implementation."""
+    import hashlib
+    import re
+
+    rows = [(0, "the quick brown fox the quick"), (1, "lorem ipsum dolor sit amet")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    for doc_id, text in rows:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        acc = np.zeros(64)
+        from collections import Counter
+
+        for t, tf in Counter(toks).items():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for p in range(64):
+                bit = (h >> (63 - p)) & 1
+                acc[p] += tf if bit else -tf
+        out = 0
+        for p in range(64):
+            out = (out << 1) | (1 if acc[p] > 0 else 0)
+        assert got[doc_id] == format(out, "016x"), doc_id
+
+
+def test_embedding_near_dup(embs):
+    assert_match(
+        dedup.embedding_near_dup(embs, threshold=0.5),
+        duck_run(OT.sql_embedding_near_dup(threshold=0.5), SF),
+        "near_dup",
+    )
+
+
+# -------------------------------------------------------------------- ann
+def test_ann_bruteforce(embs):
+    assert_match(
+        ann.bruteforce_topk(embs),
+        duck_run(OT.sql_ann_bruteforce_topk(), SF),
+        "ann_bruteforce",
+    )
+
+
+def test_ann_lsh_recall(embs):
+    """LSH top-k is a subset-ranking of brute force; recall@10 ≥ 0.3 with
+    4 tables × 6 planes + Hamming-1 multi-probe on the (near-uniform)
+    fixture embeddings, and every returned (qid, vec_id, cosine) agrees
+    with the exact cosine."""
+    exact = ann.bruteforce_topk(embs, k=10).collect()
+    approx = ann.lsh_topk(embs, k=10).collect()
+    exact_pairs = {(r["qid"], r["vec_id"]): r["cosine"] for r in exact}
+    approx_pairs = {(r["qid"], r["vec_id"]): r["cosine"] for r in approx}
+    hit = sum(1 for p in exact_pairs if p in approx_pairs)
+    recall = hit / len(exact_pairs)
+    assert recall >= 0.3, f"recall {recall}"
+    # cosines must be the exact ones wherever both paths return the pair
+    for p, c in approx_pairs.items():
+        if p in exact_pairs:
+            assert abs(c - exact_pairs[p]) < 1e-9
+
+
+# ------------------------------------------------------------- multimodal
+def test_byte_histogram(docs):
+    media = multimodal.media_table(docs)
+    assert_match(
+        multimodal.byte_histogram(media),
+        duck_run(OT.sql_byte_histogram(), SF),
+        "byte_histogram",
+    )
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        multimodal.decode_media(b"\xff\xd8\xff", "jpeg")
+
+
+def test_frame_sample(spark, docs):
+    media = multimodal.media_table(docs.limit(20))
+    frames = multimodal.frame_sample(media, n_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    for doc_id, rows in by_doc.items():
+        assert [r["frame_id"] for r in sorted(rows, key=lambda r: r["frame_id"])] == list(
+            range(len(rows))
+        )
+        raw = texts[doc_id].encode()
+        step = max(1, len(raw) // 4)
+        for r in rows:
+            assert bytes(r["frame"]) == raw[r["frame_id"] * step : r["frame_id"] * step + step]
