@@ -49,9 +49,15 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) DISTINCT shingles per doc (set semantics)."""
-    return documents.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col(_toks(), k))).alias("shingle")
+    """(doc_id, shingle) DISTINCT shingles per doc (set semantics).
+
+    Tokens materialize as a column first — shingling over the inline
+    regexp expression re-runs the regexp per shingle (see
+    textops.fingerprint)."""
+    toks = documents.select("doc_id", _toks().alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("toks"), k))).alias("shingle"),
     )
 
 

@@ -148,11 +148,17 @@ def fingerprint(documents: DataFrame) -> DataFrame:
 
     ``content_md5`` is the exact-dup key; ``shingle_min`` is a 1-permutation
     MinHash over 3-gram shingles (lexicographic min of md5 hex — the same
-    construction, widened to k permutations, drives ds2s.dedup.minhash)."""
-    t = _toks()
-    sh = shingles_col(t)
-    return documents.select(
+    construction, widened to k permutations, drives ds2s.dedup.minhash).
+
+    The token array is materialized as a column BEFORE shingling: a lambda
+    over an inline regexp expression re-evaluates the regexp per element
+    (30× slowdown measured at sf0.1)."""
+    base = documents.select(
+        "doc_id", F.md5("text").alias("content_md5"), _toks().alias("toks")
+    )
+    sh = shingles_col(F.col("toks"))
+    return base.select(
         "doc_id",
-        F.md5("text").alias("content_md5"),
+        "content_md5",
         F.array_min(F.transform(sh, F.md5)).alias("shingle_min"),
     )
