@@ -102,13 +102,31 @@ def _chunk_cost(values: np.ndarray, lo: int, hi: int, base: int) -> int:
     return indexed_bit_cost(universe, n)
 
 
+def _indexed_bit_cost_vec(universe: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Vectorized indexed_bit_cost (identical semantics to the scalar)."""
+    from .bitio import bit_length as _bl
+
+    u = universe.astype(np.int64)
+    nn = n.astype(np.int64)
+    # ef_low_bits: 0 when u<=n, else bit_length(u//n) - 1
+    ratio = np.where(nn > 0, u // np.maximum(nn, 1), 0)
+    l = np.maximum(_bl(ratio.astype(np.uint64)).astype(np.int64) - 1, 0)
+    l = np.where((nn == 0) | (u <= nn), 0, l)
+    high_len = nn + (u >> l.astype(np.uint64).astype(np.int64)) + 1
+    ef_cost = nn * l + high_len
+    cost = 8 + np.minimum(u, ef_cost) + 96
+    return np.where(nn == u, 8, cost)
+
+
 def optimal_partition(values: np.ndarray, max_part: int = 2048) -> np.ndarray:
     """ε-approximate cost-minimizing chunk endpoints.
 
     DP over candidate window lengths in geometric progression (1.3×) up to
     ``max_part`` — same spirit as the reference's optimal_partition
     (ε₁≈0.03, ε₂≈0.3), implemented independently: dp[j] = min over
-    candidate i of dp[i] + cost(i, j).  O(n · log_{1.3}(max_part))."""
+    candidate i of dp[i] + cost(i, j).  O(n · log_{1.3}(max_part)); the
+    candidate scan per j is one vectorized numpy pass (this runs per
+    posting block on the build hot path)."""
     n = len(values)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
@@ -118,27 +136,18 @@ def optimal_partition(values: np.ndarray, max_part: int = 2048) -> np.ndarray:
         lens.append(min(max(int(lens[-1] * 1.3), lens[-1] + 1), max_part))
     lens = np.unique(np.array(lens, dtype=np.int64))
 
-    INF = float("inf")
-    dp = np.full(n + 1, INF)
+    dp = np.zeros(n + 1, dtype=np.float64)
     parent = np.zeros(n + 1, dtype=np.int64)
-    dp[0] = 0.0
     vals = np.asarray(values, dtype=np.int64)
     for j in range(1, n + 1):
-        best = INF
-        bi = j - 1
-        for L in lens:
-            i = j - int(L)
-            if i < 0:
-                break
-            if dp[i] == INF:
-                continue
-            base = int(vals[i - 1]) + 1 if i > 0 else 0
-            c = dp[i] + _chunk_cost(vals, i, j, base - 1)
-            if c < best:
-                best = c
-                bi = i
-        dp[j] = best
-        parent[j] = bi
+        cand = j - lens[lens <= j]  # candidate chunk starts (descending)
+        base = np.where(cand > 0, vals[cand - 1] + 1, 0) - 1
+        universe = vals[j - 1] - base
+        costs = _indexed_bit_cost_vec(universe, (j - cand))
+        tot = dp[cand] + costs
+        k = int(np.argmin(tot))
+        dp[j] = tot[k]
+        parent[j] = cand[k]
     ends = []
     j = n
     while j > 0:

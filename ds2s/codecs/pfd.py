@@ -29,26 +29,26 @@ BLOCK = 128
 
 
 def _choose_width(v: np.ndarray) -> int:
-    """argmin_b of frame bits + exception bytes (positions + varint highs)."""
-    bl = bit_length(v)
-    max_bl = int(bl.max()) if len(v) else 0
+    """argmin_b of frame bits + exception bytes (positions + varint highs).
+
+    Fully vectorized over all candidate widths (n×34 matrix) — this runs
+    once per 128-posting block on the build hot path."""
+    if len(v) == 0:
+        return 0
+    bl = bit_length(v).astype(np.int64)
+    max_bl = int(bl.max())
     n = len(v)
-    best_b, best_cost = max_bl, n * max_bl + 16
-    for b in range(max_bl + 1):
-        exc_mask = bl > b
-        n_exc = int(exc_mask.sum())
-        if n_exc:
-            highs = v[exc_mask] >> np.uint64(b)
-            exc_bytes = n_exc + sum(
-                max((int(x).bit_length() + 6) // 7, 1) for x in highs
-            )
-        else:
-            exc_bytes = 0
-        cost = n * b + 8 * exc_bytes + 16
-        if cost < best_cost:
-            best_cost = cost
-            best_b = b
-    return best_b
+    B = np.arange(max_bl + 1, dtype=np.int64)
+    D = bl[:, None] - B[None, :]  # high bits per (value, candidate)
+    exc = D > 0
+    vbytes = np.maximum((D + 6) // 7, 1)  # varint bytes of the high part
+    exc_bytes = np.where(exc, vbytes + 1, 0).sum(axis=0)  # +1 = position byte
+    cost = n * B + 8 * exc_bytes + 16
+    # exceptions-per-block are stored in a u8 count: keep ≤ 255 (n ≤ 128
+    # guarantees it), tie-break toward the LOWEST cost then highest b is
+    # unnecessary — argmin picks the first (lowest b), matching the scalar
+    # loop's strict '<' update order
+    return int(B[np.argmin(cost)])
 
 
 def pfd_encode_block(values: np.ndarray) -> bytes:

@@ -59,7 +59,11 @@ class IndexConfig:
     token_pattern: str = "[a-z0-9]+"  # engine-owned tokenizer (SURVEY.md §2.7)
     n_salt: int = 8  # hot-term salting fanout for the two-stage posting merge
     hot_term_df: int = 10_000  # df threshold above which a term is salted
-    doc_codec: str = "pef"  # pef | uniform_pef | ef | optpfd | varint | auto
+    doc_codec: str = "pef"  # whole-list/segment family default (freq_index analogue)
+    block_codec: str = "optpfd"  # 128-posting block family default — ds2i's
+    # block_freq_index uses OptPFD/varint blocks; PEF is the whole-list
+    # family, and its per-chunk DP costs ~100× more per 128-block for no
+    # size win at that granularity (choices: ef|uniform_pef|pef|optpfd|gvb|auto)
     tf_codec: str = "optpfd"  # strict-EF over cumsum (pef family) or block codec
     dedupe_query_terms: bool = False  # upstream keeps duplicate cursors
     scorer: Scorer = field(default_factory=Scorer)

@@ -34,7 +34,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .blocks import encode_blocks
+from .blocks import blocks_from_tf
 from .config import DEFAULT_CONFIG, IndexConfig
 from .corpus import with_sha256
 from .invert import InvertedIndex
@@ -144,7 +144,9 @@ class IndexStore:
         unit("sizes", plain(idx.sizes, "sizes"))
         unit("lexicon", plain(idx.lexicon, "lexicon"))
 
-        blocks = encode_blocks(idx.postings, idx.n_docs, cfg, codec=codec)
+        blocks = blocks_from_tf(
+            idx.tf.select("term_id", "doc_id", "tf"), idx.n_docs, cfg, codec=codec
+        )
         blocks = blocks.withColumn("bucket", F.col("term_id") % n_buckets)
         for k in range(n_buckets):
             sub = f"blocks/bucket={k}"

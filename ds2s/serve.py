@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .blocks import encode_blocks
+from .blocks import blocks_from_tf
 from .codecs import decode_docs, decode_tfs
 from .config import DEFAULT_CONFIG, IndexConfig
 from .invert import InvertedIndex
@@ -208,7 +208,12 @@ class ServingIndex:
         self.idx = idx
         self.cfg = cfg or idx.cfg
         if blocks is None:
-            blocks = encode_blocks(idx.postings, idx.n_docs, self.cfg, codec=codec)
+            # scale path: block table straight from flat postings — never
+            # materializes a hot term's full list in one row
+            blocks = blocks_from_tf(
+                idx.tf.select("term_id", "doc_id", "tf"), idx.n_docs, self.cfg,
+                codec=codec,
+            )
         bm = build_block_max(idx, self.cfg, round_to=None).select(
             "term_id", "block_id", "block_max_score"
         )

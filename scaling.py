@@ -1,0 +1,184 @@
+"""Two-cluster-size scaling evidence (sandbox substitute for N vs 4N
+executors, per the round driver instruction).
+
+Runs the SAME index-build job at two parallelism levels (local[8] and
+local[32]) in separate JVMs on the same input and reports throughput at
+both plus scaling efficiency T_8 / (T_32 * 4).  The input is the sf0.1
+``documents`` fixture deterministically replicated ``--replicate`` times
+(token-rotated per replica so content differs but the distribution holds)
+— big enough that compute dominates local-mode fixed overhead.
+
+Also checks cross-parallelism rank-identity: top-k results (exact and BMW)
+must be bit-identical between the two levels (north rule: deterministic
+docIDs / rank-identity across cluster sizes).
+
+Usage:  python scaling.py            # orchestrates both levels, prints JSON
+        python scaling.py --child N  # one timed run at local[N] (internal)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REPLICATE = int(os.environ.get("DS2S_SCALING_REPLICATE", "192"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def corpus_df(spark, replicate: int):
+    """documents × replicate, deterministic: replica r shifts doc_id by
+    r*N and rotates the token stream by r positions.
+
+    The raw fixture has a ~31-term vocabulary — adversarially tiny vs any
+    real code corpus (billions of identifiers).  Each replica therefore
+    also appends a deterministic identifier tail (``idRwD`` tokens), giving
+    a Zipf head (the 31 hot terms) plus a long tail of rare terms — the
+    distribution the north-rule input actually has."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    reps = spark.range(replicate).select(F.col("id").cast("int").alias("rep"))
+    toks = F.split("text", " ")
+    rotated = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.array(
+                    F.slice(toks, F.col("rep") % F.size(toks) + 1, F.size(toks)),
+                    F.slice(toks, F.lit(1), F.col("rep") % F.size(toks)),
+                )
+            ),
+        )
+    )
+    ident_tail = F.concat_ws(
+        " ",
+        F.concat(F.lit("id"), F.col("rep").cast("string"), F.lit("w"),
+                 (F.col("doc_id") % 50).cast("string")),
+        F.concat(F.lit("fn"), F.col("rep").cast("string"), F.lit("x"),
+                 (F.col("doc_id") % 17).cast("string")),
+        F.concat(F.lit("var"), ((F.col("doc_id") * 31 + F.col("rep")) % 997).cast("string")),
+    )
+    out = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        F.concat_ws(" ", rotated, ident_tail).alias("content"),
+    )
+    return out
+
+
+def child(cores: int) -> None:
+    from ds2s.blocks import blocks_from_tf
+    from ds2s.invert import build_index
+    from ds2s.query import queries_df, ranked_or_topk
+    from ds2s.serve import ServingIndex
+    from ds2s.session import get_spark
+    from ds2s.wand import build_block_max
+
+    spark = get_spark(app=f"ds2s-scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warm-up on a small slice: JIT/codegen compilation + python
+    # worker spin-up are one-time JVM costs, not per-build costs (ds2i's
+    # queries tool likewise times repeated runs, [U] ds2i/queries.cpp)
+    warm = build_index(corpus_df(spark, 2).persist(), build_arrays=False)
+    blocks_from_tf(warm.tf, warm.n_docs).count()
+    build_block_max(warm).count()
+    warm.unpersist()
+
+    # pre-spread the corpus cache (cores×4 partitions, hash by doc_id):
+    # the replicated fixture arrives in one partition, and a serial read
+    # of a 1-partition cache would otherwise sit inside the timed build
+    corpus = (
+        corpus_df(spark, REPLICATE).repartition(cores * 4, "doc_id").persist()
+    )
+    n_docs = corpus.count()
+
+    # timed: the full index build — tokenize → invert → lexicon/sizes →
+    # encoded 128-posting block table + block-max metadata (the product
+    # an indexer ships; giant per-term arrays are deliberately NOT built)
+    t0 = time.perf_counter()
+    idx = build_index(corpus, build_arrays=False)
+    n_postings = idx.tf.count()
+    blocks = blocks_from_tf(idx.tf.select("term_id", "doc_id", "tf"), idx.n_docs)
+    blocks.write.format("noop").mode("overwrite").save()
+    build_block_max(idx).write.format("noop").mode("overwrite").save()
+    build_s = time.perf_counter() - t0
+
+    # rank-identity probes (must be parallelism-invariant) — run on a small
+    # replica count: invariance across cluster sizes is a property of the
+    # deterministic plan, not of the input size
+    probe_idx = build_index(corpus_df(spark, 4).persist(), build_arrays=False)
+    qdf = queries_df(spark)
+    exact = ranked_or_topk(probe_idx, qdf, k=10).orderBy("qid", "rank").collect()
+    sidx = ServingIndex(probe_idx)
+    bmw = sidx.topk(qdf, k=10, algo="bmw").orderBy("qid", "rank").collect()
+
+    def digest(rows):
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(f"{r['qid']}|{r['rank']}|{r['doc_id']}|{r['score']:.4f};".encode())
+        return h.hexdigest()
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_docs": n_docs,
+                "n_postings": n_postings,
+                "build_s": round(build_s, 3),
+                "docs_per_s": round(n_docs / build_s, 1),
+                "postings_per_s": round(n_postings / build_s, 1),
+                "exact_sha": digest(exact),
+                "bmw_sha": digest(bmw),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        child(int(sys.argv[sys.argv.index("--child") + 1]))
+        return
+    results = {}
+    repeats = int(os.environ.get("DS2S_SCALING_REPEATS", "2"))
+    for cores in (8, 32):
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(cores)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            run = json.loads(line)
+            if best is None or run["build_s"] < best["build_s"]:
+                best = run
+        results[cores] = best
+    r8, r32 = results[8], results[32]
+    eff = (r8["build_s"] / r32["build_s"]) / (32 / 8)
+    report = {
+        "metric": "index_build_scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "runs": results,
+        "rank_identity": {
+            "exact": r8["exact_sha"] == r32["exact_sha"],
+            "bmw": r8["bmw_sha"] == r32["bmw_sha"],
+        },
+        "replicate": REPLICATE,
+        "sf_dir": SF_DIR,
+    }
+    print(json.dumps(report))
+    Path("BENCH_SCALING.json").write_text(json.dumps(report, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from ds2s import query as Q
-from ds2s.blocks import decode_blocks_flat, encode_blocks, index_size_report
+from ds2s.blocks import (
+    blocks_from_tf,
+    decode_blocks_flat,
+    encode_blocks,
+    index_size_report,
+)
 from ds2s.queryset import DEFAULT_K
 from ds2s.serve import ServingIndex
 
@@ -57,6 +62,33 @@ def test_block_structure(synth_idx):
         assert (g["first_doc"].values[1:] > g["last_doc"].values[:-1]).all()
         # all full except possibly the last
         assert (g["n"].values[:-1] == 128).all()
+
+
+@pytest.mark.parametrize("codec", ["pef", "optpfd"])
+def test_blocks_from_tf_equals_array_route(synth_idx, codec):
+    """The scale path (flat tf → blocks, no monolithic arrays) is row-for-
+    row identical to encode_blocks(build_postings(tf))."""
+    via_arrays = (
+        encode_blocks(synth_idx.postings, synth_idx.n_docs, codec=codec)
+        .orderBy("term_id", "block_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    via_tf = (
+        blocks_from_tf(
+            synth_idx.tf.select("term_id", "doc_id", "tf"),
+            synth_idx.n_docs,
+            codec=codec,
+        )
+        .orderBy("term_id", "block_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    via_arrays["doc_bytes"] = via_arrays["doc_bytes"].map(bytes)
+    via_arrays["tf_bytes"] = via_arrays["tf_bytes"].map(bytes)
+    via_tf["doc_bytes"] = via_tf["doc_bytes"].map(bytes)
+    via_tf["tf_bytes"] = via_tf["tf_bytes"].map(bytes)
+    pd.testing.assert_frame_equal(via_tf, via_arrays)
 
 
 def test_size_report_sanity(synth_idx):
