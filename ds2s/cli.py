@@ -1,0 +1,125 @@
+"""spark-submit entry points: build an index, query an index.
+
+The ds2i workflow is three CLIs — create_freq_index, create_wand_data,
+queries ([U] ds2i/create_freq_index.cpp, create_wand_data.cpp, queries.cpp
+— upstream layout, SURVEY.md §2.1).  Here the same workflow is two
+subcommands over persisted index *tables* (north rule: run via
+``spark-submit --py-files``):
+
+    spark-submit --py-files ds2s.zip -m ds2s.cli build \\
+        --corpus /path/to/corpus.parquet --out /path/to/index \\
+        [--codec optpfd] [--buckets 8]
+
+    spark-submit --py-files ds2s.zip -m ds2s.cli query \\
+        --index /path/to/index --queries queries.txt \\
+        [--algo bmw|maxscore] [--k 10]
+
+Corpus input: the north-rule shape (repo, path, commit, lang, content) —
+dense docIDs are assigned by the deterministic global sort — or the
+``documents`` fixture shape (doc_id, text, ...).  Queries: one query per
+line, whitespace-separated terms (ds2i's query-line format with terms
+instead of pre-resolved termIDs; we own the lexicon, SURVEY.md §1.4).
+
+``build`` is resumable: rerunning with the same --out skips completed
+units via the manifest (kill/rerun safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_corpus(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from .corpus import load_code_corpus
+
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"repo", "path", "commit", "content"} <= cols:
+        return load_code_corpus(spark, path)
+    if {"doc_id", "text"} <= cols:
+        return df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.col("text").alias("content"))
+    raise SystemExit(
+        f"unrecognized corpus schema {sorted(cols)}: need "
+        "(repo,path,commit,lang,content) or (doc_id,text)"
+    )
+
+
+def cmd_build(args: argparse.Namespace) -> None:
+    from .invert import build_index
+    from .manifest import IndexStore
+    from .session import get_spark
+
+    spark = get_spark(app="ds2s-build")
+    t0 = time.perf_counter()
+    idx = build_index(_load_corpus(spark, args.corpus), build_arrays=False)
+    store = IndexStore(args.out)
+    written = store.write_checkpointed(
+        idx, source=args.corpus, codec=args.codec, n_buckets=args.buckets
+    )
+    print(json.dumps({
+        "n_docs": idx.n_docs,
+        "avg_len": round(idx.avg_len, 4),
+        "n_postings": idx.tf.count(),
+        "units_written": written,
+        "units_total": len(store.completed_units()),
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "out": args.out,
+    }))
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    from .manifest import IndexStore
+    from .serve import ServingIndex
+    from .session import get_spark
+
+    spark = get_spark(app="ds2s-query")
+    store = IndexStore(args.index)
+    sidx = ServingIndex.from_store(spark, store)
+    rows = []
+    with open(args.queries) as fh:
+        for qid, line in enumerate(fh):
+            for i, term in enumerate(line.split()):
+                rows.append((qid, i, term.lower()))
+    qdf = spark.createDataFrame(rows, schema="qid int, ord int, term string")
+    t0 = time.perf_counter()
+    out = sidx.topk(qdf, k=args.k, algo=args.algo).orderBy("qid", "rank").collect()
+    dt = time.perf_counter() - t0
+    n_q = len({r[0] for r in rows}) or 1
+    for r in out:
+        print(f"{r['qid']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.4f}")
+    print(json.dumps({
+        "n_queries": n_q,
+        "wall_s": round(dt, 3),
+        "avg_ms_per_query": round(1000 * dt / n_q, 2),
+        "algo": args.algo,
+        "k": args.k,
+    }), file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="ds2s")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="build + checkpoint an index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--codec", default=None, help="ef|uniform_pef|pef|optpfd|gvb|auto")
+    b.add_argument("--buckets", type=int, default=8)
+    b.set_defaults(fn=cmd_build)
+    q = sub.add_parser("query", help="top-k BM25 over a stored index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help="one query per line (terms)")
+    q.add_argument("--algo", default="bmw", choices=["bmw", "maxscore"])
+    q.add_argument("--k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

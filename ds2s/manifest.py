@@ -144,6 +144,19 @@ class IndexStore:
         unit("sizes", plain(idx.sizes, "sizes"))
         unit("lexicon", plain(idx.lexicon, "lexicon"))
 
+        from .wand import build_block_max, build_wand_max
+
+        unit("wand_max", plain(build_wand_max(idx), "wand_max"))
+        unit(
+            "block_max",
+            plain(
+                build_block_max(idx, cfg).select(
+                    "term_id", "block_id", "block_max_score"
+                ),
+                "block_max",
+            ),
+        )
+
         blocks = blocks_from_tf(
             idx.tf.select("term_id", "doc_id", "tf"), idx.n_docs, cfg, codec=codec
         )
@@ -186,6 +199,9 @@ class IndexStore:
     # -- load --------------------------------------------------------------
     def load_blocks(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(str(self.root / "blocks"))
+
+    def load_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(str(self.root / name))
 
     def load_meta(self) -> dict:
         return json.loads((self.root / "_index.json").read_text())

@@ -201,11 +201,16 @@ class ServingIndex:
     Holds DataFrames only (no driver-side postings); the doc-length array
     (BM25 normalization, ds2i's wand_data norm-lens — [U] ds2i/wand_data.hpp)
     is broadcast once, exactly as ds2i mmaps it on every search node.
+
+    Two constructions:
+    - ``ServingIndex(idx)`` — from a live build (computes block table +
+      block-max/wand metadata);
+    - ``ServingIndex.from_store(spark, store)`` — from a persisted
+      IndexStore alone (the mmap-load analogue: no corpus, no re-invert).
     """
 
     def __init__(self, idx: InvertedIndex, codec: str | None = None,
                  cfg: IndexConfig | None = None, blocks: DataFrame | None = None):
-        self.idx = idx
         self.cfg = cfg or idx.cfg
         if blocks is None:
             # scale path: block table straight from flat postings — never
@@ -218,25 +223,58 @@ class ServingIndex:
             "term_id", "block_id", "block_max_score"
         )
         wm = build_wand_max(idx, round_to=None)
-        self.blocks = (
-            blocks.join(bm, ["term_id", "block_id"]).join(wm, "term_id").persist()
+        self._init_tables(
+            lexicon=idx.lexicon,
+            sizes=idx.sizes,
+            n_docs=idx.n_docs,
+            avg_len=idx.avg_len,
+            blocks=blocks.join(bm, ["term_id", "block_id"]).join(wm, "term_id"),
         )
-        sc = idx.corpus.sparkSession.sparkContext
-        rows = idx.sizes.collect()
-        lens = np.zeros(idx.n_docs, dtype=np.float64)
-        for r in rows:
+
+    def _init_tables(self, lexicon: DataFrame, sizes: DataFrame, n_docs: int,
+                     avg_len: float, blocks: DataFrame) -> None:
+        self.lexicon = lexicon
+        self.n_docs = int(n_docs)
+        self.avg_len = float(avg_len)
+        self.blocks = blocks.persist()
+        sc = lexicon.sparkSession.sparkContext
+        lens = np.zeros(self.n_docs, dtype=np.float64)
+        for r in sizes.collect():
             lens[r["doc_id"]] = r["len"]
         self.lens_bc = sc.broadcast(lens)
+
+    @classmethod
+    def from_store(cls, spark, store, cfg: IndexConfig | None = None) -> "ServingIndex":
+        """Serve from a persisted IndexStore (ds2s.manifest) — the
+        ``succinct::mapper::map`` analogue ([U] succinct/mapper.hpp): the
+        index IS the tables; no source corpus needed."""
+        from .config import DEFAULT_CONFIG
+
+        self = cls.__new__(cls)
+        self.cfg = cfg or DEFAULT_CONFIG
+        meta = store.load_meta()
+        blocks = (
+            store.load_blocks(spark)
+            .join(store.load_table(spark, "block_max"), ["term_id", "block_id"])
+            .join(store.load_table(spark, "wand_max"), "term_id")
+        )
+        self._init_tables(
+            lexicon=store.load_table(spark, "lexicon"),
+            sizes=store.load_table(spark, "sizes"),
+            n_docs=meta["n_docs"],
+            avg_len=meta["avg_len"],
+            blocks=blocks,
+        )
+        return self
 
     def topk(self, qdf: DataFrame, k: int = 10, algo: str = "bmw",
              rank_round: int | None = 6) -> DataFrame:
         """(qid, rank, doc_id, score) — rank-identical to ranked_or_topk."""
-        idx = self.idx
         scorer = self.cfg.scorer
-        n = float(idx.n_docs)
+        n = float(self.n_docs)
         cursors = (
             qdf.groupBy("qid", "term").agg(F.count("*").cast("double").alias("w"))
-            .join(F.broadcast(idx.lexicon), "term")
+            .join(F.broadcast(self.lexicon), "term")
             .withColumn(
                 "idf",
                 F.greatest(
@@ -247,7 +285,7 @@ class ServingIndex:
             .select("qid", "term_id", "w", "df", "idf")
         )
         qblocks = cursors.join(self.blocks, "term_id")
-        kernel = _make_kernel(k, algo, scorer, idx.avg_len, self.lens_bc, rank_round)
+        kernel = _make_kernel(k, algo, scorer, self.avg_len, self.lens_bc, rank_round)
         return qblocks.groupBy("qid").applyInPandas(
             kernel, schema="qid int, rank int, doc_id long, score double"
         )

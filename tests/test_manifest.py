@@ -11,7 +11,8 @@ from ds2s.manifest import IndexStore
 
 
 N_BUCKETS = 4
-TOTAL_UNITS = 3 + N_BUCKETS + 1  # corpus_manifest, sizes, lexicon, buckets, _index
+# corpus_manifest, sizes, lexicon, wand_max, block_max, buckets, _index
+TOTAL_UNITS = 5 + N_BUCKETS + 1
 
 
 def test_checkpoint_resume_roundtrip(tmp_path, spark, synth_idx):
@@ -68,6 +69,78 @@ def test_checkpoint_resume_roundtrip(tmp_path, spark, synth_idx):
     meta = store.load_meta()
     assert meta["n_docs"] == synth_idx.n_docs
     assert meta["codec"] == "pef"
+
+
+def test_serve_from_store(tmp_path, spark, synth_idx):
+    """ServingIndex.from_store (the mmap-load analogue) must be
+    rank-identical to the exhaustive oracle — no corpus, no re-invert."""
+    from ds2s import query as Q
+    from ds2s.serve import ServingIndex
+
+    store = IndexStore(str(tmp_path / "sidx"))
+    store.write_checkpointed(synth_idx, source="synth", n_buckets=2)
+    sidx = ServingIndex.from_store(spark, store)
+    qdf = Q.queries_df(
+        spark,
+        rows=[(0, 0, "def"), (0, 1, "return"), (1, 0, "class"), (2, 0, "dup_marker")],
+    )
+    exact = (
+        Q.ranked_or_topk(synth_idx, qdf, k=5)
+        .orderBy("qid", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    got = (
+        sidx.topk(qdf, k=5, algo="bmw")
+        .orderBy("qid", "rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False,
+        atol=1e-8,
+    )
+
+
+def test_cli_build_and_query(tmp_path, spark):
+    """End-to-end CLI: build from a parquet corpus dir, query the stored
+    index, resumable second build writes nothing."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from ds2s import cli
+    from ds2s.corpus import synth_corpus_rows
+
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        synth_corpus_rows(),
+        schema="repo string, path string, commit string, lang string, content string",
+    ).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "cli_idx")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["build", "--corpus", corpus_path, "--out", out_dir])
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_docs"] == 300 and stats["units_written"] > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["build", "--corpus", corpus_path, "--out", out_dir])
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["units_written"] == 0
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("def return\nclass\nzzznope\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["query", "--index", out_dir, "--queries", str(qfile), "--k", "3"])
+    lines = [l for l in buf.getvalue().splitlines() if "\t" in l]
+    assert len(lines) > 0
+    qids = {int(l.split("\t")[0]) for l in lines}
+    assert 0 in qids and 1 in qids and 2 not in qids  # unknown term → no hits
 
 
 def test_sha256_detects_tamper(tmp_path, spark, synth_idx):
