@@ -19,7 +19,6 @@ from ds2s import ann, dedup, multimodal, textops  # noqa: E402
 from ds2s import oracle as O  # noqa: E402
 from ds2s import oracle_text as OT  # noqa: E402
 from ds2s import query as Q  # noqa: E402
-from ds2s import wand as W  # noqa: E402
 from ds2s.blocks import decode_blocks_flat, index_size_report  # noqa: E402
 from ds2s.corpus import load_documents  # noqa: E402
 from ds2s.invert import InvertedIndex, build_index  # noqa: E402
@@ -98,16 +97,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "and_count": _q(lambda idx, s: Q.and_count(idx, Q.queries_df(s))),
         "or_count": _q(lambda idx, s: Q.or_count(idx, Q.queries_df(s))),
-        "wand_max": _q(
-            lambda idx, s: W.build_wand_max(idx, round_to=4).orderBy("term_id")
-        ),
-        "block_max": _q(
-            lambda idx, s: W.build_block_max(idx, round_to=4)
-            .select(
-                "term_id", "block_id", "n", "first_doc", "last_doc", "block_max_score"
-            )
-            .orderBy("term_id", "block_id")
-        ),
+        # wand/block-max metadata is emitted by the ENCODE pass itself
+        # (ds2s.blocks.blocks_from_tf scored path) — these entries verify
+        # the engine's stored metadata against the independent SQL oracle
+        "wand_max": lambda spark, sf: _sindex(spark, sf)
+        .wand.select("term_id", F.round("max_score", 4).alias("max_score"))
+        .orderBy("term_id"),
+        "block_max": lambda spark, sf: _sindex(spark, sf)
+        .blocks.select(
+            "term_id", "block_id", "n", "first_doc", "last_doc",
+            F.round("block_max_score", 4).alias("block_max_score"),
+        )
+        .orderBy("term_id", "block_id"),
         # --- compressed block table + pruned serving (ds2s.blocks / .serve) ---
         "blocks_decode_check": lambda spark, sf: decode_blocks_flat(
             _sindex(spark, sf).blocks
@@ -117,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "maxscore_topk": lambda spark, sf: _sindex(spark, sf).topk(
             Q.queries_df(spark), k=DEFAULT_K, algo="maxscore"
+        ),
+        "wand_topk": lambda spark, sf: _sindex(spark, sf).topk(
+            Q.queries_df(spark), k=DEFAULT_K, algo="wand"
         ),
         "index_size_report": lambda spark, sf: index_size_report(
             _sindex(spark, sf).blocks
@@ -172,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         # pruning is score-safe: BMW/MaxScore ≡ exhaustive ranked-OR
         "bmw_topk": O.sql_ranked_or(DEFAULT_K),
         "maxscore_topk": O.sql_ranked_or(DEFAULT_K),
+        "wand_topk": O.sql_ranked_or(DEFAULT_K),
         # index_size_report: codec-dependent byte counts — rows-only check
         "token_count": OT.sql_token_count(),
         "quality_score": OT.sql_quality_score(),

@@ -117,19 +117,32 @@ def lsh_buckets(
     )
 
 
-def lsh_topk(
+def auto_lsh_params(n_vectors: int) -> tuple[int, int]:
+    """(n_planes, n_tables) scaled to the collection size.
+
+    Planes grow with log(n) to keep expected bucket occupancy ~constant
+    (candidate volume sub-linear); tables grow alongside because per-table
+    recall decays geometrically in plane count — the standard
+    multi-table/multi-probe trade (Indyk-Motwani LSH).  Tuned so the
+    clustered-fixture recall property (tests/test_ann_recall.py) holds
+    with candidates ≤5% of the corpus."""
+    import math
+
+    n_planes = max(8, int(math.ceil(math.log2(max(n_vectors, 2) / 4.0))))
+    n_tables = n_planes
+    return n_planes, n_tables
+
+
+def lsh_candidates(
     embeddings: DataFrame,
-    queries: DataFrame | None = None,
-    k: int = 10,
+    queries: DataFrame,
     n_planes: int = 6,
     n_tables: int = 4,
     multiprobe: int = 1,
 ) -> DataFrame:
-    """(qid, rank, vec_id, cosine) approximate top-k: candidates = vectors
-    sharing an LSH bucket with the query in ANY table; the query probes its
-    own bucket plus all Hamming-≤``multiprobe`` neighbors (standard
-    multi-probe LSH); candidates are exact-ranked."""
-    queries = queries if queries is not None else default_queries(embeddings)
+    """(qid, vec_id) distinct candidate pairs: vectors sharing an LSH
+    bucket with the query in ANY table, Hamming-≤``multiprobe`` probing on
+    the query side."""
     buckets = lsh_buckets(embeddings, n_planes, n_tables)
     probes = [0] + ([1 << j for j in range(n_planes)] if multiprobe >= 1 else [])
     qb = (
@@ -141,12 +154,31 @@ def lsh_topk(
             F.col("bucket").bitwiseXOR(F.col("probe")).alias("bucket"),
         )
     )
-    cand = (
+    return (
         buckets.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
     )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_planes: int | None = 6,
+    n_tables: int | None = 4,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """(qid, rank, vec_id, cosine) approximate top-k: LSH-bucketed
+    candidates (``lsh_candidates``) exact-ranked.  Pass ``n_planes=None``
+    to auto-scale both parameters from the collection size."""
+    queries = queries if queries is not None else default_queries(embeddings)
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = auto_lsh_params(embeddings.count())
+        n_planes = n_planes or auto_p
+        n_tables = n_tables or auto_t
+    cand = lsh_candidates(embeddings, queries, n_planes, n_tables, multiprobe)
     base = _as_double(embeddings)
     q = _as_double(queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")

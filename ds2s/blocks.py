@@ -43,6 +43,12 @@ BLOCKS_SCHEMA = (
     "doc_bytes binary, tf_bytes binary"
 )
 
+# v2 layout: per-block doc-length payload (kills the driver-side dense lens
+# array — BM25 normalization data travels WITH the block, the way ds2i ships
+# wand_data norm-lens next to the index) and the block-max score computed in
+# the same kernel that encodes the block (no separate skewed window pass).
+BLOCKS_SCHEMA_SCORED = BLOCKS_SCHEMA + ", len_bytes binary, block_max_score double"
+
 _AUTO_CANDIDATES = ("ef", "pef", "optpfd", "gvb")
 
 
@@ -115,6 +121,7 @@ def blocks_from_tf(
     codec: str | None = None,
     block_size: int | None = None,
     n_salt: int | None = None,
+    avg_len: float | None = None,
 ) -> DataFrame:
     """Flat postings (term_id, doc_id, tf) → encoded block rows WITHOUT the
     monolithic per-term array intermediate.
@@ -127,8 +134,10 @@ def blocks_from_tf(
 
     1. range-salt doc space into ``n_salt`` disjoint strides — positions
        are computable per (term, salt) locally;
-    2. per-(term, salt) posting counts → prefix offsets (map-combined agg,
-       broadcast);
+    2. per-(term, salt) posting counts → prefix offsets via a windowed
+       cumulative sum (≤ n_salt rows per term — skew-free) joined back on
+       the same (term, salt) keys the big shuffle already uses, so the
+       exchange is shared; nothing vocabulary-sized touches the driver;
     3. ONE shuffle of the posting table: groupBy (term, salt) →
        applyInPandas sorts the run in numpy and splits it into
        128-position-ALIGNED fragments (global pos = offset + local rank);
@@ -137,9 +146,12 @@ def blocks_from_tf(
        skew-free — and stream through a partition-wise merge+encode
        kernel.
 
-    The earlier formulation (offsets join + row_number window + struct
-    collect_list) shuffled the full posting table three times and was
-    measured flat from 8→32 cores; this one moves it once.
+    When the input carries ``len`` (doc length) and ``df`` columns and
+    ``avg_len`` is given, the kernel additionally emits a per-block
+    encoded length payload (``len_bytes``) and the block-max BM25 score
+    (``block_max_score``) — ds2i's wand_data/block-max metadata derived in
+    the SAME pass that encodes the block ([U] ds2i/wand_data.hpp), so no
+    second scan of the postings and no per-term window is ever needed.
 
     Exactly equal to encode_blocks(build_postings(tf)) (tested), row for
     row, block for block.
@@ -150,28 +162,28 @@ def blocks_from_tf(
     universe = int(n_docs)
     stride = max(1, (universe + ns) // ns)
     spark = tf.sparkSession
+    scored = avg_len is not None and "len" in tf.columns and "df" in tf.columns
+    scorer = cfg.scorer
 
+    cols = ["term_id", "doc_id", "tf"] + (["len", "df"] if scored else [])
     salted = tf.select(
-        "term_id", "doc_id", "tf", (F.col("doc_id") / stride).cast("int").alias("salt")
+        *cols, (F.col("doc_id") / stride).cast("int").alias("salt")
     )
 
-    # per-(term, salt) prefix offsets: a map-side-combined count agg (tiny
-    # shuffle), collected + broadcast.  At a billion-term vocabulary this
-    # dict becomes a broadcast-join against the fragment rows instead —
-    # the posting-table shuffle below is unchanged either way.
-    counts = (
-        salted.groupBy("term_id", "salt").agg(F.count("*").alias("cnt")).collect()
+    # per-(term, salt) prefix offsets: map-side-combined count agg (tiny
+    # shuffle) → windowed cumsum over ≤ n_salt rows per term → joined back
+    # on the shuffle keys.  No driver collect: at a billion-term vocabulary
+    # the offsets table stays distributed and AQE picks broadcast vs
+    # exchange-sharing sort-merge on its own.
+    from pyspark.sql import Window
+
+    counts = salted.groupBy("term_id", "salt").agg(F.count("*").alias("cnt"))
+    w_off = Window.partitionBy("term_id").orderBy("salt")
+    offsets = counts.select(
+        "term_id", "salt",
+        (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
     )
-    offsets: dict[tuple[int, int], int] = {}
-    by_term: dict[int, list] = {}
-    for r in counts:
-        by_term.setdefault(r["term_id"], []).append((r["salt"], r["cnt"]))
-    for t, lst in by_term.items():
-        acc = 0
-        for s, c in sorted(lst):
-            offsets[(t, s)] = acc
-            acc += c
-    off_bc = spark.sparkContext.broadcast(offsets)
+    salted = salted.join(offsets, ["term_id", "salt"])
 
     # ONE shuffle of the posting table: group (term, salt) → columnar
     # pandas (no per-posting structs/dicts), sort in numpy, split into
@@ -180,28 +192,33 @@ def blocks_from_tf(
     frag_schema = (
         "term_id int, block_id int, first_doc long, docs array<long>, tfs array<long>"
     )
+    if scored:
+        frag_schema += ", lens array<long>, df long"
 
     def split_run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_id, salt = int(key[0]), int(key[1])
+        term_id = int(key[0])
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         docs = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order]
-        off = off_bc.value[(term_id, salt)]
+        off = int(pdf["offset"].iloc[0])
         pos = off + np.arange(len(docs))
         bids = pos // bs
         cuts = np.flatnonzero(np.diff(bids)) + 1
         d_parts = np.split(docs, cuts)
         t_parts = np.split(tfs, cuts)
         b_parts = [int(b[0]) for b in np.split(bids, cuts)]
-        return pd.DataFrame(
-            {
-                "term_id": np.full(len(d_parts), term_id, dtype=np.int32),
-                "block_id": np.array(b_parts, dtype=np.int32),
-                "first_doc": [int(d[0]) for d in d_parts],
-                "docs": [d.astype(np.int64) for d in d_parts],
-                "tfs": [t.astype(np.int64) for t in t_parts],
-            }
-        )
+        out = {
+            "term_id": np.full(len(d_parts), term_id, dtype=np.int32),
+            "block_id": np.array(b_parts, dtype=np.int32),
+            "first_doc": [int(d[0]) for d in d_parts],
+            "docs": [d.astype(np.int64) for d in d_parts],
+            "tfs": [t.astype(np.int64) for t in t_parts],
+        }
+        if scored:
+            lens = pdf["len"].to_numpy()[order]
+            out["lens"] = [x.astype(np.int64) for x in np.split(lens, cuts)]
+            out["df"] = np.full(len(d_parts), int(pdf["df"].iloc[0]), dtype=np.int64)
+        return pd.DataFrame(out)
 
     frags = salted.groupBy("term_id", "salt").applyInPandas(split_run, frag_schema)
 
@@ -215,14 +232,22 @@ def blocks_from_tf(
         "term_id", "block_id", "first_doc"
     )
 
+    out_cols = ["term_id", "block_id", "n", "first_doc", "last_doc",
+                "doc_bytes", "tf_bytes"]
+    if scored:
+        out_cols += ["len_bytes", "block_max_score"]
+    k1, b_p = scorer.k1, scorer.b
+    eps = scorer.idf_epsilon
+    n_f = float(universe)
+    avg = float(avg_len) if avg_len else 1.0
+
     def merge_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pend_key = None
+        pend_df = 0
         pend_d: list[np.ndarray] = []
         pend_t: list[np.ndarray] = []
-        out: dict[str, list] = {k: [] for k in (
-            "term_id", "block_id", "n", "first_doc", "last_doc",
-            "doc_bytes", "tf_bytes",
-        )}
+        pend_l: list[np.ndarray] = []
+        out: dict[str, list] = {k: [] for k in out_cols}
 
         def flush():
             d = pend_d[0] if len(pend_d) == 1 else np.concatenate(pend_d)
@@ -237,18 +262,37 @@ def blocks_from_tf(
             out["last_doc"].append(int(d[-1]))
             out["doc_bytes"].append(db)
             out["tf_bytes"].append(tb)
+            if scored:
+                ln = pend_l[0] if len(pend_l) == 1 else np.concatenate(pend_l)
+                ln = ln.astype(np.uint64, copy=False)
+                out["len_bytes"].append(encode_tfs(ln, codec if codec != "auto" else "optpfd"))
+                # same float64 expression shape as the serve kernel and the
+                # DuckDB oracle (round-4 stable)
+                dfv = float(pend_df)
+                idf = max(eps, np.log((n_f - dfv + 0.5) / (dfv + 0.5))) * (1.0 + k1)
+                tf_f = t.astype(np.float64)
+                contrib = idf * tf_f / (
+                    tf_f + k1 * (1.0 - b_p + b_p * ln.astype(np.float64) / avg)
+                )
+                out["block_max_score"].append(float(contrib.max()))
 
         for pdf in batches:
-            for term_id, block_id, docs, tfs in zip(
-                pdf["term_id"], pdf["block_id"], pdf["docs"], pdf["tfs"]
+            lens_col = pdf["lens"] if scored else pdf["tfs"]
+            df_col = pdf["df"] if scored else pdf["term_id"]
+            for term_id, block_id, docs, tfs, lens, dfv in zip(
+                pdf["term_id"], pdf["block_id"], pdf["docs"], pdf["tfs"],
+                lens_col, df_col,
             ):
                 key = (int(term_id), int(block_id))
                 if key != pend_key:
                     if pend_key is not None:
                         flush()
-                    pend_key, pend_d, pend_t = key, [], []
+                    pend_key, pend_d, pend_t, pend_l = key, [], [], []
+                    pend_df = int(dfv)
                 pend_d.append(np.asarray(docs))
                 pend_t.append(np.asarray(tfs))
+                if scored:
+                    pend_l.append(np.asarray(lens))
             if out["term_id"]:
                 yield pd.DataFrame(out)
                 out = {k: [] for k in out}
@@ -257,7 +301,8 @@ def blocks_from_tf(
         if out["term_id"]:
             yield pd.DataFrame(out)
 
-    return sorted_frags.mapInPandas(merge_iter, schema=BLOCKS_SCHEMA)
+    schema = BLOCKS_SCHEMA_SCORED if scored else BLOCKS_SCHEMA
+    return sorted_frags.mapInPandas(merge_iter, schema=schema)
 
 
 def decode_blocks_flat(blocks: DataFrame) -> DataFrame:
@@ -295,6 +340,8 @@ def index_size_report(blocks: DataFrame) -> DataFrame:
     """(n_terms, n_blocks, n_postings, doc_bytes, tf_bytes, bits_per_doc,
     bits_per_tf) — the compression-ratio scoreboard ds2i prints at build
     time ([U] ds2i/create_freq_index.cpp stats_line)."""
+    if "len_bytes" in blocks.columns:
+        blocks = blocks.drop("len_bytes")
     return blocks.agg(
         F.countDistinct("term_id").cast("long").alias("n_terms"),
         F.count("*").cast("long").alias("n_blocks"),

@@ -6,13 +6,16 @@ queries ([U] ds2i/create_freq_index.cpp, create_wand_data.cpp, queries.cpp
 subcommands over persisted index *tables* (north rule: run via
 ``spark-submit --py-files``):
 
-    spark-submit --py-files ds2s.zip -m ds2s.cli build \\
+    spark-submit --py-files ds2s.zip path/to/ds2s/cli.py build \\
         --corpus /path/to/corpus.parquet --out /path/to/index \\
         [--codec optpfd] [--buckets 8]
 
-    spark-submit --py-files ds2s.zip -m ds2s.cli query \\
+    spark-submit --py-files ds2s.zip path/to/ds2s/cli.py query \\
         --index /path/to/index --queries queries.txt \\
-        [--algo bmw|maxscore] [--k 10]
+        [--algo bmw|maxscore|wand] [--k 10]
+
+(or, in a plain Python environment, ``python -m ds2s.cli build ...`` —
+spark-submit takes an application FILE, not a ``-m`` module flag).
 
 Corpus input: the north-rule shape (repo, path, commit, lang, content) —
 dense docIDs are assigned by the deterministic global sort — or the
@@ -114,7 +117,7 @@ def main(argv: list[str] | None = None) -> None:
     q = sub.add_parser("query", help="top-k BM25 over a stored index")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="one query per line (terms)")
-    q.add_argument("--algo", default="bmw", choices=["bmw", "maxscore"])
+    q.add_argument("--algo", default="bmw", choices=["bmw", "maxscore", "wand"])
     q.add_argument("--k", type=int, default=10)
     q.set_defaults(fn=cmd_query)
     args = p.parse_args(argv)

@@ -30,6 +30,7 @@ def with_dense_id(
     order_cols: list[str],
     id_col: str,
     num_partitions: int | None = None,
+    aux: list | None = None,
 ) -> DataFrame:
     """Assign dense ids [0, N) by global ``ORDER BY order_cols``.
 
@@ -47,6 +48,8 @@ def with_dense_id(
         *order_cols
     )
     sorted_df = sorted_df.persist()
+    if aux is not None:
+        aux.append(sorted_df)
     counts = (
         sorted_df.groupBy(F.spark_partition_id().alias("_pid"))
         .count()

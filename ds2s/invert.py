@@ -62,25 +62,32 @@ def build_tf(corpus: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
     return toks.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
 
 
-def build_lexicon(tf: DataFrame, dense_ids: bool = True) -> DataFrame:
+def build_lexicon(tf: DataFrame, dense_ids: bool = True,
+                  aux: list | None = None) -> DataFrame:
     """(term, term_id, df): dense termIDs by ORDER BY term (SURVEY.md §7.5).
 
     Uses the scale-safe range-partitioned dense-id assignment; vocab is
     tiny relative to the corpus but can still be billions of rows for code,
-    so no single-partition window.
+    so no single-partition window.  Persisted intermediates are appended to
+    ``aux`` so the caller can unpersist them once the result materializes
+    (they otherwise accumulate dead cached partitions across repeated
+    builds in one JVM — bench/scaling harnesses).
     """
     lex = tf.groupBy("term").agg(F.count("*").cast("int").alias("df"))
     # materialize before with_dense_id: its range-partition sampling and
     # sort would otherwise re-execute the aggregation chain twice
     lex = lex.persist()
     lex.count()
-    lex = with_dense_id(lex, ["term"], "term_id")
+    if aux is not None:
+        aux.append(lex)
+    lex = with_dense_id(lex, ["term"], "term_id", aux=aux)
     return lex.select("term", F.col("term_id").cast("int").alias("term_id"), "df")
 
 
 def build_postings(
     tf_ids: DataFrame,
     cfg: IndexConfig = DEFAULT_CONFIG,
+    max_doc: int | None = None,
 ) -> DataFrame:
     """(term_id, df, postings: array<struct<doc,tf>>) docID-sorted per term.
 
@@ -93,8 +100,10 @@ def build_postings(
     n_salt = max(1, cfg.n_salt)
     # Disjoint ranges: salt = doc_id mod-free bucketing by range keeps runs
     # concatenable.  We don't know max doc id cheaply per term, so use
-    # doc_id divided by a fixed stride chosen from the global max.
-    max_doc = tf_ids.agg(F.max("doc_id")).collect()[0][0] or 0
+    # doc_id divided by a fixed stride chosen from the global max (passed
+    # in by build_index — n_docs-1 — to avoid an extra driver job).
+    if max_doc is None:
+        max_doc = tf_ids.agg(F.max("doc_id")).collect()[0][0] or 0
     stride = max(1, (int(max_doc) + n_salt) // n_salt)
     salted = tf_ids.withColumn(
         "salt",
@@ -150,30 +159,39 @@ def build_index(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < par:
         corpus = corpus.repartition(par, "doc_id")
-    # every persist below is materialized EAGERLY (count) before the next
-    # stage builds on it: lazy chaining re-executes the tokenize+groupBy
-    # chain 3× via the lexicon's dense-id sampling pass (measured 87-155 s
-    # vs 12 s on a 22 M-posting corpus)
+    # every persist below is materialized EAGERLY before the next stage
+    # builds on it: lazy chaining re-executes the tokenize+groupBy chain 3×
+    # via the lexicon's dense-id sampling pass (measured 87-155 s vs 12 s
+    # on a 22 M-posting corpus).  Materialization jobs are FUSED — each
+    # eager action populates every upstream persist it scans, so the whole
+    # build issues 3 driver jobs (stats, lexicon-agg, tf) instead of 6
+    # (each job carries ~3 s fixed latency at 100 M-posting scale).
+    aux: list[DataFrame] = []
     corpus = corpus.persist()
-    corpus.count()
     sizes = build_sizes(corpus, cfg).persist()
+    stats = sizes.agg(
+        F.count("*").alias("n"), F.sum("len").alias("total")
+    ).collect()[0]  # job 1: materializes corpus + sizes together
+    n_docs = int(stats["n"])
+    avg_len = float(stats["total"]) / n_docs if n_docs else 0.0
     tf_terms = build_tf(corpus, cfg).persist()
-    tf_terms.count()
-    lexicon = build_lexicon(tf_terms).persist()
-    lexicon.count()
+    # job 2 (inside build_lexicon): materializes tf_terms + the vocab agg
+    lexicon = build_lexicon(tf_terms, aux=aux).persist()
+    # no broadcast hint: the lexicon can be billions of rows for code —
+    # AQE picks broadcast when it is actually small, shuffle join otherwise
     tf = (
-        tf_terms.join(F.broadcast(lexicon), "term")
+        tf_terms.join(lexicon, "term")
         .select("term", "term_id", "doc_id", "tf", "df")
         .persist()
     )
-    tf.count()
+    tf.count()  # job 3: materializes lexicon + tf together
     tf_terms.unpersist()
-    postings = build_postings(tf, cfg).persist() if build_arrays else None
-    stats = sizes.agg(
-        F.count("*").alias("n"), F.sum("len").alias("total")
-    ).collect()[0]
-    n_docs = int(stats["n"])
-    avg_len = float(stats["total"]) / n_docs if n_docs else 0.0
+    for df in aux:
+        df.unpersist()
+    postings = (
+        build_postings(tf, cfg, max_doc=n_docs - 1).persist()
+        if build_arrays else None
+    )
     return InvertedIndex(
         corpus=corpus,
         sizes=sizes,

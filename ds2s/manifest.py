@@ -64,11 +64,12 @@ class IndexStore:
         return units
 
     def _append_manifest(self, row: dict) -> None:
-        """Atomic append: rewrite to tmp + rename (POSIX atomic)."""
-        rows = list(self.completed_units().values())
-        rows.append(row)
+        """Atomic append: rewrite to tmp + rename (POSIX atomic).  A row
+        with an existing unit name REPLACES it (config-mismatch rewrite)."""
+        units = self.completed_units()
+        units[row["unit"]] = row
         tmp = self.manifest_path.with_suffix(".tmp")
-        tmp.write_text("".join(json.dumps(r) + "\n" for r in rows))
+        tmp.write_text("".join(json.dumps(r) + "\n" for r in units.values()))
         os.replace(tmp, self.manifest_path)
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
@@ -102,8 +103,31 @@ class IndexStore:
         """
         cfg = idx.cfg
         fp = _config_fingerprint(cfg)
-        done = self.completed_units()
+        spark = idx.corpus.sparkSession
+        # Resume safety: a unit counts as done ONLY if it was written under
+        # the SAME config fingerprint — rerunning with a changed
+        # IndexConfig/codec/block_size treats stale units as incomplete and
+        # rewrites them (a mixed-config index would silently corrupt top-k:
+        # e.g. old-block_size blocks no longer align with fresh metadata).
+        done = {
+            name: row
+            for name, row in self.completed_units().items()
+            if row.get("config") == fp
+        }
         written = 0
+
+        def record(name: str, n_rows: int, nbytes: int, wall_s: float) -> None:
+            self._append_manifest(
+                {
+                    "unit": name,
+                    "source": source,
+                    "config": fp,
+                    "n_rows": int(n_rows),
+                    "bytes": int(nbytes),
+                    "wall_s": round(wall_s, 3),
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+            )
 
         def unit(name: str, fn) -> None:
             nonlocal written
@@ -113,23 +137,16 @@ class IndexStore:
                 raise RuntimeError(f"injected failure before unit {name}")
             t0 = time.perf_counter()
             n_rows, nbytes = fn()
-            self._append_manifest(
-                {
-                    "unit": name,
-                    "source": source,
-                    "config": fp,
-                    "n_rows": int(n_rows),
-                    "bytes": int(nbytes),
-                    "wall_s": round(time.perf_counter() - t0, 3),
-                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                }
-            )
+            record(name, n_rows, nbytes, time.perf_counter() - t0)
             written += 1
 
         def plain(df: DataFrame, sub: str):
             def run():
                 df.write.mode("overwrite").parquet(str(self.root / sub))
-                return df.count(), _dir_bytes(self.root / sub)
+                # count from the written files (parquet footer metadata) —
+                # never re-executes the producing pipeline
+                n = spark.read.parquet(str(self.root / sub)).count()
+                return n, _dir_bytes(self.root / sub)
 
             return run
 
@@ -144,32 +161,46 @@ class IndexStore:
         unit("sizes", plain(idx.sizes, "sizes"))
         unit("lexicon", plain(idx.lexicon, "lexicon"))
 
-        from .wand import build_block_max, build_wand_max
-
-        unit("wand_max", plain(build_wand_max(idx), "wand_max"))
-        unit(
-            "block_max",
-            plain(
-                build_block_max(idx, cfg).select(
-                    "term_id", "block_id", "block_max_score"
+        # ONE pass writes every bucket (write.partitionBy): the
+        # blocks_from_tf pipeline executes exactly once, not once per
+        # bucket.  Bucket units commit together; a crash mid-write leaves
+        # no bucket lines and the whole blocks dir is rewritten (overwrite)
+        # idempotently on resume.
+        bucket_names = [f"blocks_bucket_{k}" for k in range(n_buckets)]
+        if any(name not in done for name in bucket_names):
+            if fail_after_units is not None and written >= fail_after_units:
+                raise RuntimeError("injected failure before unit blocks")
+            t0 = time.perf_counter()
+            blocks = blocks_from_tf(
+                idx.tf.select("term_id", "doc_id", "tf", "df").join(
+                    idx.sizes, "doc_id"
                 ),
-                "block_max",
+                idx.n_docs, cfg, codec=codec, avg_len=idx.avg_len,
+            ).withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
+            blocks.write.partitionBy("bucket").mode("overwrite").parquet(
+                str(self.root / "blocks")
+            )
+            wall = time.perf_counter() - t0
+            for k, name in enumerate(bucket_names):
+                sub = self.root / "blocks" / f"bucket={k}"
+                n = (
+                    spark.read.parquet(str(sub)).count() if sub.exists() else 0
+                )
+                record(name, n, _dir_bytes(sub) if sub.exists() else 0,
+                       wall / n_buckets)
+                written += 1
+
+        # per-term wand upper bound — an aggregation over the STORED block
+        # table (column-pruned scan of block_max_score), no postings rescan
+        unit(
+            "wand_max",
+            plain(
+                spark.read.parquet(str(self.root / "blocks"))
+                .groupBy("term_id")
+                .agg(F.max("block_max_score").alias("max_score")),
+                "wand_max",
             ),
         )
-
-        blocks = blocks_from_tf(
-            idx.tf.select("term_id", "doc_id", "tf"), idx.n_docs, cfg, codec=codec
-        )
-        blocks = blocks.withColumn("bucket", F.col("term_id") % n_buckets)
-        for k in range(n_buckets):
-            sub = f"blocks/bucket={k}"
-
-            def write_bucket(k=k, sub=sub):
-                part = blocks.filter(F.col("bucket") == k).drop("bucket")
-                part.write.mode("overwrite").parquet(str(self.root / sub))
-                return part.count(), _dir_bytes(self.root / sub)
-
-            unit(f"blocks_bucket_{k}", write_bucket)
 
         if "_index" not in done:
             stats = {
@@ -177,7 +208,9 @@ class IndexStore:
                 "avg_len": idx.avg_len,
                 "config": asdict(cfg),
                 "config_fingerprint": fp,
-                "codec": codec or cfg.doc_codec,
+                # blocks_from_tf defaults to cfg.block_codec when codec is
+                # None — record what was actually used
+                "codec": codec or cfg.block_codec,
                 "n_buckets": n_buckets,
                 "source": source,
             }

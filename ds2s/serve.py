@@ -1,41 +1,55 @@
-"""Dynamic-pruning top-k serving kernels: MaxScore and Block-Max WAND.
+"""Dynamic-pruning top-k serving: MaxScore, WAND, and Block-Max WAND.
 
 ds2i's ranked operators ([U] ds2i/queries.cpp wand_query / maxscore_query /
 block_max_wand_query — upstream layout, SURVEY.md §2.6) are cursor-at-a-time
 heap algorithms.  A per-posting Python loop cannot survive translation
 (SURVEY.md §4 last row), so this module implements the same *pruning
-semantics* as a vectorized **upper-bound interval sweep**, exact by
-construction:
+semantics* vectorized, exact by construction, in TWO phases so that pruned
+blocks are never shuffled, read, or decoded:
 
-1. seed θ₀: exact-score the rarest query term's postings; θ₀ = k-th best
-   single-term lower bound (0 if fewer than k);
-2. partition docID space by the block (BMW) or term (MaxScore) boundary
-   points; on each interval the summed upper bound UB = Σ_t ub_t is
-   constant — computed vectorized via searchsorted;
-3. any doc with true score ≥ θ₀ has UB ≥ θ₀, so only blocks overlapping
-   survivor intervals (UB ≥ θ₀) are decoded; every posting of a surviving
-   doc lives in a decoded block, so survivor scores are complete;
-4. exact top-k over survivor scores — rank-identical to the exhaustive
-   ranked-OR oracle (the §5.2 property), with the same rounding and
-   (score DESC, doc ASC) tie discipline.
+Phase 1 — seed θ₀ (tiny): the rarest query term's highest-block-max blocks
+(capped at ``seed_max_blocks``) are decoded (tf+len payloads only) and
+exact-scored; θ₀ = k-th best single-term lower bound (0 if fewer than k).
+Any subset of true scores is a valid lower bound on the final k-th score,
+so the cap is always safe — it only weakens θ₀.
 
-The kernel runs inside ``groupBy(qid).applyInPandas`` over the *joined*
-(query × block) rows: queries are batched through Arrow, inner loops are
-numpy over whole blocks.  Block payloads reach the kernel via a semi-join
-of the block table against the query's terms — at cluster scale that is a
-partition-pruned scan of the term buckets, not a broadcast of the index.
+Phase 2 — RELATIONAL block pruning + kernel: a block B of term t survives
+iff  w_t·block_max(B) + Σ_{t'≠t} w_{t'}·max_score(t') ≥ θ₀  — a plain
+column predicate over the block-metadata table (partition-prunable, no
+payloads touched).  Safety: for any doc d in B, its full upper bound
+UB(d) ≤ that expression, so a failing block cannot contain a doc whose
+true score reaches θ₀; and for any doc with UB(d) ≥ θ₀ EVERY block
+containing it passes the predicate (term-level max ≥ any block max), so
+survivor scores stay complete.  Only surviving blocks' payloads are
+shuffled to the per-query kernel, which applies the finer per-algorithm
+pruning (block intervals for BMW, term intervals for MaxScore, adaptive-θ
+docID-ordered pivoting for WAND) and returns the exact top-k —
+rank-identical to the exhaustive ranked-OR oracle, with the same rounding
+and (score DESC, doc ASC) tie discipline.
 
-Upper bounds are inflated by 1+1e-9 before pruning: the block-max table is
-computed by JVM float math, the kernel scores with numpy; the margin keeps
-pruning safe across last-ulp differences (both paths rank on values rounded
-to 6 decimals, so the margin cannot change results).
+Doc lengths travel WITH each block (``len_bytes``, encoded at build time,
+ds2s.blocks) — there is no driver-side dense lens array and no broadcast
+proportional to corpus size; every per-doc datum the kernel needs arrives
+in the block row itself, exactly as ds2i mmaps wand_data norm-lens next to
+the postings ([U] ds2i/wand_data.hpp).
+
+The lexicon lookup broadcasts the QUERY terms (bounded by the batch) and
+scans the lexicon once; the resolved cursors (≤ one row per query term)
+are collected — the dictionary-lookup step every ds2i query begins with —
+and re-enter the plan as literal broadcast rows, so the vocabulary-sized
+lexicon is never broadcast or re-scanned.
+
+Upper bounds are inflated by 1+1e-9 before pruning: metadata sums are JVM
+float math, the kernel scores with numpy; the margin keeps pruning safe
+across last-ulp differences (both paths rank on values rounded to 6
+decimals, so the margin cannot change results).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .blocks import blocks_from_tf
@@ -43,28 +57,24 @@ from .codecs import decode_docs, decode_tfs
 from .config import DEFAULT_CONFIG, IndexConfig
 from .invert import InvertedIndex
 from .util import round_half_up
-from .wand import build_block_max, build_wand_max
 
 _UB_MARGIN = 1.0 + 1e-9
+_OUT_SCHEMA = "qid int, rank int, doc_id long, score double"
 
 
-def _sweep_topk(
-    per_term: list[dict],
-    k: int,
-    theta0: float,
-    seed_docs: np.ndarray,
-    seed_contrib: np.ndarray,
-    lens: np.ndarray,
-    avg_len: float,
-    scorer,
-    rank_round: int | None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Shared exact sweep. per_term entries:
-    {firsts, lasts, ubs (per interval), block_first, block_last, payloads
-    (list of (doc_bytes, tf_bytes)), idf, w} — ``firsts/lasts/ubs`` are the
-    PRUNING intervals (blocks for BMW, one per term for MaxScore);
-    ``block_*``/payloads are the physical 128-blocks to decode."""
-    # --- interval grid over docID space ---
+def _decode_block_scores(db, tb, lb, w, idf, k1, b, avg):
+    """One block → (docs int64, per-posting BM25 contribution float64)."""
+    d, _ = decode_docs(bytes(db))
+    tf, _ = decode_tfs(bytes(tb))
+    ln, _ = decode_tfs(bytes(lb))
+    tf = tf.astype(np.float64)
+    ln = ln.astype(np.float64)
+    c = w * idf * tf / (tf + k1 * (1.0 - b + b * ln / avg))
+    return d.astype(np.int64), c
+
+
+def _interval_grid(per_term):
+    """Union of pruning-interval boundary points + per-point summed UB."""
     pts = [np.zeros(1, dtype=np.int64)]
     for t in per_term:
         pts.append(t["firsts"])
@@ -77,10 +87,18 @@ def _sweep_topk(
         jj = np.where(valid, j, 0)
         inside = valid & (t["firsts"][jj] <= points)
         ub += np.where(inside, t["ubs"][jj] * _UB_MARGIN, 0.0)
+    return points, ub
+
+
+def _sweep_topk(per_term, k, theta0, avg, scorer, rank_round):
+    """Static-θ upper-bound interval sweep (BMW / MaxScore kernels).
+
+    per_term entries: {firsts, lasts, ubs (pruning intervals), block_first,
+    block_last, payloads [(doc_bytes, tf_bytes, len_bytes)], idf, w}."""
+    points, ub = _interval_grid(per_term)
     surv = ub >= theta0 if theta0 > 0.0 else np.ones(len(points), dtype=bool)
     psurv = np.concatenate(([0], np.cumsum(surv)))
 
-    # --- decode blocks overlapping survivor intervals; exact-score ---
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
     k1, b = scorer.k1, scorer.b
@@ -91,19 +109,12 @@ def _sweep_topk(
         take = (psurv[hi + 1] - psurv[lo]) > 0
         if not take.any():
             continue
-        d_parts, f_parts = [], []
         for i in np.flatnonzero(take):
-            db, tb = t["payloads"][i]
-            d, _ = decode_docs(bytes(db))
-            tf, _ = decode_tfs(bytes(tb))
-            d_parts.append(d.astype(np.int64))
-            f_parts.append(tf.astype(np.float64))
-        docs = np.concatenate(d_parts)
-        tfs = np.concatenate(f_parts)
-        tl = lens[docs]
-        c = t["w"] * t["idf"] * tfs / (tfs + k1 * (1.0 - b + b * tl / avg_len))
-        doc_parts.append(docs)
-        contrib_parts.append(c)
+            d, c = _decode_block_scores(
+                *t["payloads"][i], t["w"], t["idf"], k1, b, avg
+            )
+            doc_parts.append(d)
+            contrib_parts.append(c)
 
     if not doc_parts:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
@@ -116,35 +127,107 @@ def _sweep_topk(
     ii = np.searchsorted(points, ud, side="right") - 1
     keep = surv[np.clip(ii, 0, len(surv) - 1)]
     ud, scores = ud[keep], scores[keep]
+    return _rank(ud, scores, k, rank_round)
 
-    # --- exact top-k, frozen tie discipline (half-up rounding = F.round) ---
+
+def _wand_topk(per_term, k, theta0, avg, scorer, rank_round):
+    """Classic WAND ([U] ds2i/queries.cpp wand_query): docID-ordered
+    cursor pivoting with an ADAPTIVE threshold, at block granularity.
+
+    Intervals of the block grid are visited in docID order (the cursor
+    sweep); the pivot test is UB(interval) ≥ θ with θ raised to the
+    running k-th best true score as the heap fills — unlike the static-θ₀
+    sweep, late intervals are pruned against the scores found in early
+    ones, which is exactly the classic algorithm's advantage.  Exactness:
+    every doc lies in one interval; a skipped interval's docs have
+    UB < θ ≤ (k-th best − rounding quantum), so they cannot enter the
+    rounded top-k; a visited interval decodes every block overlapping it,
+    so its docs' scores are complete."""
+    points, ub = _interval_grid(per_term)
+    k1, b = scorer.k1, scorer.b
+    quantum = 10.0 ** (-rank_round) if rank_round is not None else 0.0
+
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    n_cand = 0
+    theta = theta0
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    # per-term block boundary arrays for overlap lookup
+    for ival in range(len(points)):
+        if ub[ival] < theta and theta > 0.0:
+            continue
+        lo_doc = points[ival]
+        hi_doc = points[ival + 1] - 1 if ival + 1 < len(points) else np.iinfo(np.int64).max
+        d_parts, c_parts = [], []
+        for ti, t in enumerate(per_term):
+            bf, bl = t["block_first"], t["block_last"]
+            # blocks overlapping [lo_doc, hi_doc]
+            first = np.searchsorted(bl, lo_doc, side="left")
+            last = np.searchsorted(bf, hi_doc, side="right")
+            for bi in range(first, last):
+                key = (ti, bi)
+                if key not in decoded:
+                    decoded[key] = _decode_block_scores(
+                        *t["payloads"][bi], t["w"], t["idf"], k1, b, avg
+                    )
+                d, c = decoded[key]
+                sl = slice(
+                    np.searchsorted(d, lo_doc, side="left"),
+                    np.searchsorted(d, hi_doc, side="right"),
+                )
+                if sl.start < sl.stop:
+                    d_parts.append(d[sl])
+                    c_parts.append(c[sl])
+        if not d_parts:
+            continue
+        docs = np.concatenate(d_parts)
+        contribs = np.concatenate(c_parts)
+        udd, inv = np.unique(docs, return_inverse=True)
+        sc = np.bincount(inv, weights=contribs)
+        cand_docs.append(udd)
+        cand_scores.append(sc)
+        n_cand += len(udd)
+        # raise θ to the running k-th best (loosened by one rounding
+        # quantum so rounded ties are never pruned)
+        if n_cand >= k:
+            allsc = np.concatenate(cand_scores)
+            kth = np.partition(allsc, -k)[-k]
+            theta = max(theta, kth - quantum)
+
+    if not cand_docs:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    ud = np.concatenate(cand_docs)
+    scores = np.concatenate(cand_scores)
+    return _rank(ud, scores, k, rank_round)
+
+
+def _rank(ud, scores, k, rank_round):
+    """Frozen tie discipline: (round6(score) DESC, doc ASC), half-up."""
     rs = round_half_up(scores, rank_round) if rank_round is not None else scores
     order = np.lexsort((ud, -rs))[:k]
     return ud[order], scores[order]
 
 
-def _make_kernel(k, algo, scorer, avg_len, lens_bc, rank_round):
+def _make_kernel(k, algo, scorer, avg_len, rank_round):
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
-        lens = lens_bc.value
+        theta0 = float(pdf["theta0"].iloc[0])
         per_term: list[dict] = []
-        seed = None  # (df, docs, contrib)
-        for term_id, g in pdf.groupby("term_id", sort=True):
+        for _, g in pdf.groupby("term_id", sort=True):
             g = g.sort_values("block_id")
             bf = g["first_doc"].to_numpy(dtype=np.int64)
             bl = g["last_doc"].to_numpy(dtype=np.int64)
             bmax = g["block_max_score"].to_numpy(dtype=np.float64)
             w = float(g["w"].iloc[0])
-            df_t = float(g["df"].iloc[0])
             idf = float(g["idf"].iloc[0])
             tmax = float(g["max_score"].iloc[0])
-            payloads = list(zip(g["doc_bytes"], g["tf_bytes"]))
-            if algo == "bmw":
-                firsts, lasts, ubs = bf, bl, bmax * w
-            else:  # maxscore: one pruning interval per term
-                firsts = bf[:1]
-                lasts = bl[-1:]
+            payloads = list(zip(g["doc_bytes"], g["tf_bytes"], g["len_bytes"]))
+            if algo == "maxscore":  # one pruning interval per term
+                firsts, lasts = bf[:1], bl[-1:]
                 ubs = np.array([tmax * w], dtype=np.float64)
+            else:  # bmw / wand: block-granular intervals
+                firsts, lasts, ubs = bf, bl, bmax * w
             per_term.append(
                 dict(
                     firsts=firsts, lasts=lasts, ubs=ubs,
@@ -152,36 +235,13 @@ def _make_kernel(k, algo, scorer, avg_len, lens_bc, rank_round):
                     idf=idf, w=w,
                 )
             )
-            if seed is None or df_t < seed[0]:
-                seed = (df_t, len(per_term) - 1)
         if not per_term:
             return pd.DataFrame(
                 {"qid": [], "rank": [], "doc_id": [], "score": []}
             ).astype({"qid": "int32", "rank": "int32", "doc_id": "int64", "score": "float64"})
 
-        # seed θ₀ from the rarest term's exact single-term contributions
-        st = per_term[seed[1]]
-        d_parts, f_parts = [], []
-        for db, tb in st["payloads"]:
-            d, _ = decode_docs(bytes(db))
-            tf, _ = decode_tfs(bytes(tb))
-            d_parts.append(d.astype(np.int64))
-            f_parts.append(tf.astype(np.float64))
-        sdocs = np.concatenate(d_parts) if d_parts else np.zeros(0, np.int64)
-        stfs = np.concatenate(f_parts) if f_parts else np.zeros(0, np.float64)
-        tl = lens[sdocs] if len(sdocs) else np.zeros(0, np.float64)
-        k1, b = scorer.k1, scorer.b
-        lb = st["w"] * st["idf"] * stfs / (stfs + k1 * (1.0 - b + b * tl / avg_len))
-        theta0 = float(np.partition(lb, -k)[-k]) if len(lb) >= k else 0.0
-        # ranking compares scores ROUNDED to rank_round decimals, so a doc
-        # with raw score up to one rounding quantum below θ₀ can still tie
-        # and win on (doc ASC) — loosen the pruning threshold accordingly
-        if rank_round is not None and theta0 > 0.0:
-            theta0 = max(0.0, theta0 - 10.0 ** (-rank_round))
-
-        docs, scores = _sweep_topk(
-            per_term, k, theta0, sdocs, lb, lens, avg_len, scorer, rank_round
-        )
+        fn = _wand_topk if algo == "wand" else _sweep_topk
+        docs, scores = fn(per_term, k, theta0, avg_len, scorer, rank_round)
         out_scores = round_half_up(scores, 4) if rank_round is not None else scores
         return pd.DataFrame(
             {
@@ -195,86 +255,127 @@ def _make_kernel(k, algo, scorer, avg_len, lens_bc, rank_round):
     return kernel
 
 
+def _make_seed_kernel(k, scorer, avg_len, rank_round):
+    """Rarest-term blocks → (qid, theta0).  tf+len payloads only — docIDs
+    are irrelevant to the k-th best single-term lower bound."""
+    k1, b = scorer.k1, scorer.b
+    quantum = 10.0 ** (-rank_round) if rank_round is not None else 0.0
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for tb, lb, w, idf in zip(
+            pdf["tf_bytes"], pdf["len_bytes"], pdf["w"], pdf["idf"]
+        ):
+            tf, _ = decode_tfs(bytes(tb))
+            ln, _ = decode_tfs(bytes(lb))
+            tf = tf.astype(np.float64)
+            ln = ln.astype(np.float64)
+            parts.append(
+                float(w) * float(idf) * tf
+                / (tf + k1 * (1.0 - b + b * ln / avg_len))
+            )
+        lb_all = np.concatenate(parts) if parts else np.zeros(0)
+        theta0 = float(np.partition(lb_all, -k)[-k]) if len(lb_all) >= k else 0.0
+        # ranking compares scores ROUNDED to rank_round decimals, so a doc
+        # with raw score up to one quantum below θ₀ can still tie and win
+        # on (doc ASC) — loosen the threshold accordingly
+        if theta0 > 0.0:
+            theta0 = max(0.0, theta0 - quantum)
+        return pd.DataFrame({"qid": [int(key[0])], "theta0": [theta0]})
+
+    return kernel
+
+
 class ServingIndex:
     """Encoded block table + metadata, ready for pruned top-k serving.
 
-    Holds DataFrames only (no driver-side postings); the doc-length array
-    (BM25 normalization, ds2i's wand_data norm-lens — [U] ds2i/wand_data.hpp)
-    is broadcast once, exactly as ds2i mmaps it on every search node.
+    Holds DataFrames only — no driver-side arrays of any corpus-
+    proportional size.  The block table is self-contained (docIDs, tfs,
+    doc lengths, block-max score per row); the only auxiliary table is the
+    per-term max score (``wand``), derived from the block table by one
+    aggregation.
 
     Two constructions:
-    - ``ServingIndex(idx)`` — from a live build (computes block table +
-      block-max/wand metadata);
+    - ``ServingIndex(idx)`` — from a live build: ONE pass over the
+      postings (blocks_from_tf with scoring) emits payloads + block-max
+      together; no separate wand_data scan of the postings;
     - ``ServingIndex.from_store(spark, store)`` — from a persisted
       IndexStore alone (the mmap-load analogue: no corpus, no re-invert).
     """
 
     def __init__(self, idx: InvertedIndex, codec: str | None = None,
-                 cfg: IndexConfig | None = None, blocks: DataFrame | None = None):
+                 cfg: IndexConfig | None = None, blocks: DataFrame | None = None,
+                 seed_max_blocks: int = 64, prune_buckets: int = 1024):
         self.cfg = cfg or idx.cfg
         if blocks is None:
-            # scale path: block table straight from flat postings — never
-            # materializes a hot term's full list in one row
-            blocks = blocks_from_tf(
-                idx.tf.select("term_id", "doc_id", "tf"), idx.n_docs, self.cfg,
-                codec=codec,
+            postings = (
+                idx.tf.select("term_id", "doc_id", "tf", "df")
+                .join(idx.sizes, "doc_id")
             )
-        bm = build_block_max(idx, self.cfg, round_to=None).select(
-            "term_id", "block_id", "block_max_score"
-        )
-        wm = build_wand_max(idx, round_to=None)
+            blocks = blocks_from_tf(
+                postings, idx.n_docs, self.cfg, codec=codec, avg_len=idx.avg_len
+            )
         self._init_tables(
             lexicon=idx.lexicon,
-            sizes=idx.sizes,
             n_docs=idx.n_docs,
             avg_len=idx.avg_len,
-            blocks=blocks.join(bm, ["term_id", "block_id"]).join(wm, "term_id"),
+            blocks=blocks,
+            seed_max_blocks=seed_max_blocks,
+            prune_buckets=prune_buckets,
         )
 
-    def _init_tables(self, lexicon: DataFrame, sizes: DataFrame, n_docs: int,
-                     avg_len: float, blocks: DataFrame) -> None:
+    def _init_tables(self, lexicon: DataFrame, n_docs: int, avg_len: float,
+                     blocks: DataFrame, wand: DataFrame | None = None,
+                     seed_max_blocks: int = 64, prune_buckets: int = 1024) -> None:
         self.lexicon = lexicon
         self.n_docs = int(n_docs)
         self.avg_len = float(avg_len)
+        self.seed_max_blocks = int(seed_max_blocks)
+        self.prune_buckets = int(prune_buckets)
         self.blocks = blocks.persist()
-        sc = lexicon.sparkSession.sparkContext
-        lens = np.zeros(self.n_docs, dtype=np.float64)
-        for r in sizes.collect():
-            lens[r["doc_id"]] = r["len"]
-        self.lens_bc = sc.broadcast(lens)
+        if wand is None:
+            # term upper bound = max over its block maxes — one small agg
+            # over the (persisted) block table, no postings scan
+            wand = self.blocks.groupBy("term_id").agg(
+                F.max("block_max_score").alias("max_score")
+            )
+        self.wand = wand.persist()
 
     @classmethod
-    def from_store(cls, spark, store, cfg: IndexConfig | None = None) -> "ServingIndex":
+    def from_store(cls, spark, store, cfg: IndexConfig | None = None,
+                   seed_max_blocks: int = 64, prune_buckets: int = 1024) -> "ServingIndex":
         """Serve from a persisted IndexStore (ds2s.manifest) — the
         ``succinct::mapper::map`` analogue ([U] succinct/mapper.hpp): the
         index IS the tables; no source corpus needed."""
-        from .config import DEFAULT_CONFIG
-
         self = cls.__new__(cls)
         self.cfg = cfg or DEFAULT_CONFIG
         meta = store.load_meta()
-        blocks = (
-            store.load_blocks(spark)
-            .join(store.load_table(spark, "block_max"), ["term_id", "block_id"])
-            .join(store.load_table(spark, "wand_max"), "term_id")
-        )
         self._init_tables(
             lexicon=store.load_table(spark, "lexicon"),
-            sizes=store.load_table(spark, "sizes"),
             n_docs=meta["n_docs"],
             avg_len=meta["avg_len"],
-            blocks=blocks,
+            blocks=store.load_blocks(spark),
+            wand=store.load_table(spark, "wand_max"),
+            seed_max_blocks=seed_max_blocks,
+            prune_buckets=prune_buckets,
         )
         return self
 
-    def topk(self, qdf: DataFrame, k: int = 10, algo: str = "bmw",
-             rank_round: int | None = 6) -> DataFrame:
-        """(qid, rank, doc_id, score) — rank-identical to ranked_or_topk."""
+    # -- query-time plan ----------------------------------------------------
+    def _resolve_cursors(self, qdf: DataFrame) -> list[tuple]:
+        """Query terms → (qid, term_id, w, df, idf) rows, collected.
+
+        The broadcast side is the QUERY (bounded by the batch), never the
+        lexicon; one lexicon scan per batch.  The collect is the
+        dictionary-lookup step — its size is ≤ the number of query terms,
+        independent of corpus scale."""
         scorer = self.cfg.scorer
         n = float(self.n_docs)
-        cursors = (
-            qdf.groupBy("qid", "term").agg(F.count("*").cast("double").alias("w"))
-            .join(F.broadcast(self.lexicon), "term")
+        qagg = qdf.groupBy("qid", "term").agg(
+            F.count("*").cast("double").alias("w")
+        )
+        cur = (
+            self.lexicon.join(F.broadcast(qagg), "term")
             .withColumn(
                 "idf",
                 F.greatest(
@@ -284,11 +385,143 @@ class ServingIndex:
             )
             .select("qid", "term_id", "w", "df", "idf")
         )
-        qblocks = cursors.join(self.blocks, "term_id")
-        kernel = _make_kernel(k, algo, scorer, self.avg_len, self.lens_bc, rank_round)
-        return qblocks.groupBy("qid").applyInPandas(
-            kernel, schema="qid int, rank int, doc_id long, score double"
+        return [
+            (int(r["qid"]), int(r["term_id"]), float(r["w"]), int(r["df"]),
+             float(r["idf"]))
+            for r in cur.collect()
+        ]
+
+    def _theta_df(self, spark, seed_rows: list[tuple], k: int,
+                  rank_round: int | None) -> DataFrame:
+        """(qid, theta0) from the rarest term's best blocks (capped)."""
+        seed_df = spark.createDataFrame(
+            seed_rows, schema="qid int, term_id int, w double, idf double"
         )
+        meta = self.blocks.select("term_id", "block_id", "block_max_score")
+        seed_meta = meta.join(F.broadcast(seed_df), "term_id")
+        if self.seed_max_blocks > 0:
+            w_rank = Window.partitionBy("qid").orderBy(
+                F.desc("block_max_score"), F.asc("block_id")
+            )
+            seed_meta = (
+                seed_meta.withColumn("rn", F.row_number().over(w_rank))
+                .filter(F.col("rn") <= self.seed_max_blocks)
+            )
+        seed_keys = seed_meta.select("qid", "term_id", "block_id", "w", "idf")
+        seed_payload = self.blocks.select(
+            "term_id", "block_id", "tf_bytes", "len_bytes"
+        ).join(F.broadcast(seed_keys), ["term_id", "block_id"])
+        seed_kernel = _make_seed_kernel(k, self.cfg.scorer, self.avg_len, rank_round)
+        return seed_payload.groupBy("qid").applyInPandas(
+            seed_kernel, schema="qid int, theta0 double"
+        )
+
+    def survivor_blocks(self, qdf: DataFrame, k: int = 10,
+                        rank_round: int | None = 6) -> DataFrame:
+        """The relationally pre-pruned (qid × block) rows — metadata +
+        payloads — that the kernel will actually receive.  Exposed for the
+        decode-pruning metric: ``survivor_blocks(...).count()`` vs the
+        unpruned qid × term-blocks join.
+
+        Pruning bound (position-aware, metadata-only): docID space is cut
+        into ``prune_buckets`` coarse ranges; per (qid, bucket, term) the
+        max block upper bound is aggregated; a block B of term t survives
+        iff for SOME bucket it overlaps,
+
+            w_t·block_max(B) + Σ_{t'≠t} bucketmax(t') ≥ θ₀ .
+
+        Safety: a doc d in B lies in one bucket; every block of another
+        term containing d overlaps that bucket, so d's full upper bound is
+        ≤ the bucket bound — a failing block cannot hold a doc reaching
+        θ₀, and every block containing a potential top-k doc passes (its
+        bucket bound dominates that doc's UB).  Unlike a term-global sum
+        bound, this prunes a hot term's blocks in docID regions where the
+        rare terms are absent — the I/O skip that is the whole point of
+        block-max metadata ([U] ds2i block_max_wand_query), done here as
+        equi-joins on the block-metadata table (payloads untouched)."""
+        spark = qdf.sparkSession
+        cur = self._resolve_cursors(qdf)
+        if not cur:
+            empty = self.blocks.limit(0).withColumn("qid", F.lit(0))
+            for c in ("w", "idf", "max_score", "theta0"):
+                empty = empty.withColumn(c, F.lit(0.0))
+            return empty
+        # per-(qid, term) metadata: join the resolved cursors (literal,
+        # broadcast) against the small per-term max table
+        cur_df = spark.createDataFrame(
+            cur, schema="qid int, term_id int, w double, df int, idf double"
+        )
+        tm = [
+            (int(r["qid"]), int(r["term_id"]), float(r["w"]), int(r["df"]),
+             float(r["idf"]), float(r["max_score"]))
+            for r in self.wand.join(F.broadcast(cur_df), "term_id").select(
+                "qid", "term_id", "w", "df", "idf", "max_score"
+            ).collect()
+        ]
+        rarest: dict[int, tuple] = {}
+        for row in tm:
+            qid, term_id, w, df, idf, mx = row
+            cur_best = rarest.get(qid)
+            if cur_best is None or (df, term_id) < (cur_best[3], cur_best[1]):
+                rarest[qid] = row
+        meta_df = spark.createDataFrame(
+            [(qid, term_id, w, idf, mx) for qid, term_id, w, df, idf, mx in tm],
+            schema="qid int, term_id int, w double, idf double, max_score double",
+        )
+        seed_rows = [
+            (qid, term_id, w, idf)
+            for qid, term_id, w, df, idf, mx in rarest.values()
+        ]
+        theta = self._theta_df(spark, seed_rows, k, rank_round)
+
+        stride = max(1, -(-self.n_docs // self.prune_buckets))  # ceil
+        bm = (
+            self.blocks.select(
+                "term_id", "block_id", "first_doc", "last_doc", "block_max_score"
+            )
+            .join(F.broadcast(meta_df.select("qid", "term_id", "w")), "term_id")
+            .withColumn("ub", F.col("w") * F.col("block_max_score"))
+        )
+        covers = bm.withColumn(
+            "cb",
+            F.explode(
+                F.sequence(
+                    (F.col("first_doc") / stride).cast("long"),
+                    (F.col("last_doc") / stride).cast("long"),
+                )
+            ),
+        ).select("qid", "term_id", "block_id", "ub", "cb")
+        tmax_b = covers.groupBy("qid", "cb", "term_id").agg(
+            F.max("ub").alias("tub")
+        )
+        sums = tmax_b.groupBy("qid", "cb").agg(F.sum("tub").alias("sum_ub"))
+        bounds = (
+            covers.join(tmax_b, ["qid", "cb", "term_id"])
+            .join(sums, ["qid", "cb"])
+            .withColumn("bound", F.col("ub") + F.col("sum_ub") - F.col("tub"))
+            .groupBy("qid", "term_id", "block_id")
+            .agg(F.max("bound").alias("bound"))
+        )
+        surv_keys = (
+            bounds.join(F.broadcast(theta), "qid")
+            .filter(F.col("bound") * F.lit(_UB_MARGIN) >= F.col("theta0"))
+            .select("qid", "term_id", "block_id", "theta0")
+        )
+        return self.blocks.join(
+            F.broadcast(surv_keys), ["term_id", "block_id"]
+        ).join(F.broadcast(meta_df), ["qid", "term_id"])
+
+    def topk(self, qdf: DataFrame, k: int = 10, algo: str = "bmw",
+             rank_round: int | None = 6) -> DataFrame:
+        """(qid, rank, doc_id, score) — rank-identical to ranked_or_topk.
+
+        ``algo``: "bmw" (block-max intervals, [U] ds2i
+        block_max_wand_query), "maxscore" (term-bound intervals, [U] ds2i
+        maxscore_query), or "wand" (adaptive-θ docID-ordered pivoting,
+        [U] ds2i wand_query)."""
+        surv = self.survivor_blocks(qdf, k=k, rank_round=rank_round)
+        kernel = _make_kernel(k, algo, self.cfg.scorer, self.avg_len, rank_round)
+        return surv.groupBy("qid").applyInPandas(kernel, schema=_OUT_SCHEMA)
 
 
 def bmw_topk(sidx: ServingIndex, qdf: DataFrame, k: int = 10) -> DataFrame:
@@ -297,5 +530,10 @@ def bmw_topk(sidx: ServingIndex, qdf: DataFrame, k: int = 10) -> DataFrame:
 
 
 def maxscore_topk(sidx: ServingIndex, qdf: DataFrame, k: int = 10) -> DataFrame:
-    """MaxScore / WAND term-bound pruning ([U] ds2i maxscore_query)."""
+    """MaxScore term-bound pruning ([U] ds2i maxscore_query)."""
     return sidx.topk(qdf, k=k, algo="maxscore")
+
+
+def wand_topk(sidx: ServingIndex, qdf: DataFrame, k: int = 10) -> DataFrame:
+    """Classic WAND cursor-pivot pruning ([U] ds2i wand_query)."""
+    return sidx.topk(qdf, k=k, algo="wand")

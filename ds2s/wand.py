@@ -4,8 +4,15 @@
 Pure aggregations over the flat postings (SURVEY.md §3.2 — "no new
 machinery"): per-term max BM25 contribution, per-doc normalized length,
 and per 128-posting block (last_doc, max score).  All JVM-side Column
-math; two shuffles (term, then (term, block)) both skew-free because the
-block dimension spreads hot terms.
+math.
+
+NOTE: these are the REFERENCE builders (independent relational derivation,
+kept for oracle symmetry + equality tests).  The ENGINE derives the same
+metadata in the block-encode pass itself (ds2s.blocks.blocks_from_tf with
+``avg_len`` — block_max_score is a column of the block table, and the
+per-term wand max is a one-line aggregation over it), which avoids the
+second postings scan and this module's per-term window (skewed on hot
+terms at 10^12-doc scale).
 """
 
 from __future__ import annotations

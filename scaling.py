@@ -79,18 +79,23 @@ def child(cores: int) -> None:
     from ds2s.query import queries_df, ranked_or_topk
     from ds2s.serve import ServingIndex
     from ds2s.session import get_spark
-    from ds2s.wand import build_block_max
 
     spark = get_spark(app=f"ds2s-scaling-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    def scored_blocks(idx):
+        """ONE pass emits payloads + len payloads + block-max metadata."""
+        postings = idx.tf.select("term_id", "doc_id", "tf", "df").join(
+            idx.sizes, "doc_id"
+        )
+        return blocks_from_tf(postings, idx.n_docs, avg_len=idx.avg_len)
+
     # untimed warm-up on a small slice: JIT/codegen compilation + python
     # worker spin-up are one-time JVM costs, not per-build costs (ds2i's
     # queries tool likewise times repeated runs, [U] ds2i/queries.cpp)
     warm = build_index(corpus_df(spark, 2).persist(), build_arrays=False)
-    blocks_from_tf(warm.tf, warm.n_docs).count()
-    build_block_max(warm).count()
+    scored_blocks(warm).count()
     warm.unpersist()
 
     # pre-spread the corpus cache (cores×4 partitions, hash by doc_id):
@@ -107,9 +112,10 @@ def child(cores: int) -> None:
     t0 = time.perf_counter()
     idx = build_index(corpus, build_arrays=False)
     n_postings = idx.tf.count()
-    blocks = blocks_from_tf(idx.tf.select("term_id", "doc_id", "tf"), idx.n_docs)
-    blocks.write.format("noop").mode("overwrite").save()
-    build_block_max(idx).write.format("noop").mode("overwrite").save()
+    # single pass: encoded blocks + per-block len payloads + block-max
+    # metadata together (the round-1 harness ran blocks_from_tf AND a
+    # separate build_block_max postings scan — two passes, now fused)
+    scored_blocks(idx).write.format("noop").mode("overwrite").save()
     build_s = time.perf_counter() - t0
 
     # rank-identity probes (must be parallelism-invariant) — run on a small

@@ -11,26 +11,27 @@ from ds2s.manifest import IndexStore
 
 
 N_BUCKETS = 4
-# corpus_manifest, sizes, lexicon, wand_max, block_max, buckets, _index
-TOTAL_UNITS = 5 + N_BUCKETS + 1
+# corpus_manifest, sizes, lexicon, blocks buckets (one physical write),
+# wand_max, _index
+TOTAL_UNITS = 3 + N_BUCKETS + 1 + 1
 
 
 def test_checkpoint_resume_roundtrip(tmp_path, spark, synth_idx):
     store = IndexStore(str(tmp_path / "idx"))
 
-    # first run dies after 5 units (mid-bucket territory)
+    # first run dies after 3 units (before the blocks write)
     with pytest.raises(RuntimeError, match="injected failure"):
         store.write_checkpointed(
             synth_idx, source="synth", codec="pef", n_buckets=N_BUCKETS,
-            fail_after_units=5,
+            fail_after_units=3,
         )
-    assert len(store.completed_units()) == 5
+    assert len(store.completed_units()) == 3
 
     # resume: only the remaining units are written
     written = store.write_checkpointed(
         synth_idx, source="synth", codec="pef", n_buckets=N_BUCKETS
     )
-    assert written == TOTAL_UNITS - 5
+    assert written == TOTAL_UNITS - 3
     assert len(store.completed_units()) == TOTAL_UNITS
 
     # idempotent: a third run writes nothing
@@ -141,6 +142,26 @@ def test_cli_build_and_query(tmp_path, spark):
     assert len(lines) > 0
     qids = {int(l.split("\t")[0]) for l in lines}
     assert 0 in qids and 1 in qids and 2 not in qids  # unknown term → no hits
+
+
+def test_config_change_invalidates_resume(tmp_path, spark, synth_idx):
+    """A unit written under a different IndexConfig fingerprint is treated
+    as incomplete and rewritten — no silently mixed-config index."""
+    import dataclasses
+
+    from ds2s.invert import InvertedIndex
+
+    store = IndexStore(str(tmp_path / "idxcfg"))
+    store.write_checkpointed(synth_idx, source="synth", n_buckets=2)
+    assert store.write_checkpointed(synth_idx, source="synth", n_buckets=2) == 0
+
+    # same tables, different block_size → every unit must be rewritten
+    cfg2 = dataclasses.replace(synth_idx.cfg, block_size=32)
+    idx2 = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg2})
+    rewritten = store.write_checkpointed(idx2, source="synth", n_buckets=2)
+    assert rewritten == 3 + 2 + 1 + 1
+    # and the stored blocks really are 32-posting blocks now
+    assert store.load_blocks(spark).agg({"n": "max"}).collect()[0][0] <= 32
 
 
 def test_sha256_detects_tamper(tmp_path, spark, synth_idx):
