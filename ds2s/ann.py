@@ -128,8 +128,8 @@ def auto_lsh_params(n_vectors: int) -> tuple[int, int]:
     with candidates ≤5% of the corpus."""
     import math
 
-    n_planes = max(8, int(math.ceil(math.log2(max(n_vectors, 2) / 4.0))))
-    n_tables = n_planes
+    n_planes = max(8, int(math.ceil(math.log2(max(n_vectors, 2)))) + 1)
+    n_tables = max(4, n_planes - 5)
     return n_planes, n_tables
 
 

@@ -49,7 +49,7 @@ BLOCKS_SCHEMA = (
 # the same kernel that encodes the block (no separate skewed window pass).
 BLOCKS_SCHEMA_SCORED = BLOCKS_SCHEMA + ", len_bytes binary, block_max_score double"
 
-_AUTO_CANDIDATES = ("ef", "pef", "optpfd", "gvb")
+_AUTO_CANDIDATES = ("ef", "pef", "optpfd", "gvb", "interp")
 
 
 def _encode_one(docs: np.ndarray, tfs: np.ndarray, universe: int, codec: str) -> tuple[bytes, bytes]:

@@ -1,0 +1,124 @@
+"""Binary interpolative coding ([U] ds2i/interpolative_coding.hpp — upstream
+ot/ds2i layout; Moffat & Stuckey 2000).
+
+Encodes a strictly-increasing sequence by recursively emitting the middle
+element within its feasible range [lo+m, hi-(n-1-m)] using
+ceil(log2(range+1)) bits, then recursing on both halves — the classic
+codec that approaches 0 bits/element on dense runs (clustered docIDs),
+which neither PFD (outlier-pinned) nor EF (fixed low-bit floor) can do.
+
+Format (after the registry's 1-byte codec id):
+    varint n, varint universe, MSB-first bitstream (preorder).
+
+The bitstream is written once via a vectorized pack (per-element widths →
+cumulative bit offsets → np.packbits); the recursion itself is O(n) Python
+over a ≤128-element block — the same per-block granularity every other
+block codec here uses, and never on the serving hot path unless ``auto``
+actually selects it for a block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _varint_put(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        out.append(b | (0x80 if x else 0))
+        if not x:
+            return bytes(out)
+
+
+def _varint_get(buf: bytes, off: int) -> tuple[int, int]:
+    x, shift = 0, 0
+    while True:
+        b = buf[off]
+        off += 1
+        x |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return x, off
+        shift += 7
+
+
+def _collect(arr: np.ndarray, lo: int, hi: int, vals: list, widths: list) -> None:
+    n = len(arr)
+    if n == 0:
+        return
+    m = n // 2
+    v = int(arr[m])
+    base = lo + m
+    top = hi - (n - 1 - m)
+    r = top - base
+    w = r.bit_length()
+    vals.append(v - base)
+    widths.append(w)
+    _collect(arr[:m], lo, v - 1, vals, widths)
+    _collect(arr[m + 1:], v + 1, hi, vals, widths)
+
+
+def interp_encode(values: np.ndarray, universe: int) -> bytes:
+    """Strictly-increasing uint64 values in [0, universe) → bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    head = _varint_put(n) + _varint_put(int(universe))
+    if n == 0:
+        return head
+    vals: list[int] = []
+    widths: list[int] = []
+    _collect(v, 0, int(universe) - 1, vals, widths)
+    wa = np.asarray(widths, dtype=np.int64)
+    va = np.asarray(vals, dtype=np.uint64)
+    total = int(wa.sum())
+    if total == 0:
+        return head
+    offs = np.cumsum(wa) - wa
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs, wa)
+    elem = np.repeat(np.arange(len(va)), wa)
+    shift = (wa[elem] - 1 - pos).astype(np.uint64)
+    bits = ((va[elem] >> shift) & np.uint64(1)).astype(np.uint8)
+    return head + np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    __slots__ = ("val", "nbits", "pos")
+
+    def __init__(self, buf: bytes):
+        self.val = int.from_bytes(buf, "big")
+        self.nbits = 8 * len(buf)
+        self.pos = 0
+
+    def read(self, w: int) -> int:
+        if w == 0:
+            return 0
+        self.pos += w
+        return (self.val >> (self.nbits - self.pos)) & ((1 << w) - 1)
+
+
+def _expand(n: int, lo: int, hi: int, rd: _BitReader, out: list) -> None:
+    if n == 0:
+        return
+    m = n // 2
+    base = lo + m
+    top = hi - (n - 1 - m)
+    w = (top - base).bit_length()
+    v = base + rd.read(w)
+    _expand(m, lo, v - 1, rd, out)
+    out.append(v)
+    _expand(n - 1 - m, v + 1, hi, rd, out)
+
+
+def interp_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    n, off = _varint_get(buf, offset)
+    universe, off = _varint_get(buf, off)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), off
+    # the decode recursion re-derives every width, so rd.pos ends at
+    # exactly the bit count the encoder packed — consumed is exact
+    rd = _BitReader(buf[off:])
+    out: list[int] = []
+    _expand(n, 0, universe - 1, rd, out)
+    consumed = (rd.pos + 7) // 8
+    return np.asarray(out, dtype=np.uint64), off + consumed

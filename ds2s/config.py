@@ -63,7 +63,8 @@ class IndexConfig:
     block_codec: str = "optpfd"  # 128-posting block family default — ds2i's
     # block_freq_index uses OptPFD/varint blocks; PEF is the whole-list
     # family, and its per-chunk DP costs ~100× more per 128-block for no
-    # size win at that granularity (choices: ef|uniform_pef|pef|optpfd|gvb|auto)
+    # size win at that granularity
+    # (choices: ef|uniform_pef|pef|optpfd|gvb|interp|auto)
     tf_codec: str = "optpfd"  # strict-EF over cumsum (pef family) or block codec
     dedupe_query_terms: bool = False  # upstream keeps duplicate cursors
     scorer: Scorer = field(default_factory=Scorer)

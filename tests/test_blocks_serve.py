@@ -91,6 +91,16 @@ def test_blocks_from_tf_equals_array_route(synth_idx, codec):
     pd.testing.assert_frame_equal(via_tf, via_arrays)
 
 
+def test_auto_codec_uses_interp_on_fixture(synth_idx):
+    """Under ``auto``, binary interpolative coding actually wins real
+    fixture blocks (short rare-term lists), not just synthetic shapes."""
+    from ds2s.codecs import CODEC_IDS
+
+    blocks = encode_blocks(synth_idx.postings, synth_idx.n_docs, codec="auto")
+    ids = {bytes(r["doc_bytes"])[:1][0] for r in blocks.collect()}
+    assert CODEC_IDS["interp"] in ids
+
+
 def test_size_report_sanity(synth_idx):
     blocks = encode_blocks(synth_idx.postings, synth_idx.n_docs, codec="auto")
     r = index_size_report(blocks).collect()[0]

@@ -122,6 +122,39 @@ def test_random_roundtrips_seeded_sweep():
             assert np.array_equal(dec, vals), f"trial {trial} codec {codec}"
 
 
+def test_interp_wins_short_and_sparse_blocks():
+    """Binary interpolative coding ([U] ds2i/interpolative_coding.hpp;
+    Moffat & Stuckey 2000) sits near the information-theoretic bound with
+    almost no header — it must win (a) short tail blocks (every posting
+    list ends in one; rare terms ARE one) and (b) sparse uniform
+    128-blocks, the two shapes that dominate a Zipfian vocabulary."""
+    rng = np.random.default_rng(5)
+    u = 1 << 20
+    short = np.sort(rng.choice(u, 8, replace=False)).astype(np.uint64)
+    sizes_s = {c: len(encode_docs(short, u, c)) for c in CODEC_IDS}
+    assert sizes_s["interp"] == min(sizes_s.values())
+
+    sparse = np.sort(rng.choice(u, 128, replace=False)).astype(np.uint64)
+    sizes_u = {c: len(encode_docs(sparse, u, c)) for c in CODEC_IDS}
+    assert sizes_u["interp"] == min(sizes_u.values())
+    assert sizes_u["interp"] < sizes_u["ef"]
+
+
+def test_auto_selects_interp_on_sparse_block():
+    """The per-block cost-based ``auto`` choice actually picks interp
+    (codec id byte 5) when it is smallest."""
+    from ds2s.blocks import _encode_one
+    from ds2s.codecs import CODEC_IDS as IDS
+
+    rng = np.random.default_rng(5)
+    docs = np.sort(rng.choice(1 << 20, 128, replace=False)).astype(np.uint64)
+    tfs = np.ones(128, dtype=np.uint64)
+    db, _ = _encode_one(docs, tfs, 1 << 20, "auto")
+    assert db[0] == IDS["interp"]
+    dec, _ = decode_docs(db)
+    assert np.array_equal(dec, docs)
+
+
 def test_pef_beats_uniform_and_ef_on_clustered():
     """Size sanity order (BASELINE.md (b)): opt-PEF ≤ uniform-PEF on
     clustered data; EF of clustered runs worse than PEF."""

@@ -91,6 +91,14 @@ def test_simhash64(docs):
     assert_match(dedup.simhash64(docs), duck_run(OT.sql_simhash64(), SF), "simhash")
 
 
+def test_simhash_engine_equals_relational(docs):
+    """The packed-bit kernel (engine path, one shuffle) is bit-identical to
+    the declarative 64-row-explode formulation (oracle plan)."""
+    eng = dedup.simhash64(docs).orderBy("doc_id").toPandas()
+    rel = dedup.simhash64_relational(docs).orderBy("doc_id").toPandas()
+    assert eng.equals(rel.reset_index(drop=True).astype(eng.dtypes.to_dict()))
+
+
 def test_simhash_pure_python_oracle(spark):
     """Relational SimHash ≡ straightforward per-doc python implementation."""
     import hashlib
