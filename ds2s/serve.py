@@ -13,19 +13,19 @@ exact-scored; θ₀ = k-th best single-term lower bound (0 if fewer than k).
 Any subset of true scores is a valid lower bound on the final k-th score,
 so the cap is always safe — it only weakens θ₀.
 
-Phase 2 — RELATIONAL block pruning + kernel: a block B of term t survives
-iff  w_t·block_max(B) + Σ_{t'≠t} w_{t'}·max_score(t') ≥ θ₀  — a plain
-column predicate over the block-metadata table (partition-prunable, no
-payloads touched).  Safety: for any doc d in B, its full upper bound
-UB(d) ≤ that expression, so a failing block cannot contain a doc whose
-true score reaches θ₀; and for any doc with UB(d) ≥ θ₀ EVERY block
-containing it passes the predicate (term-level max ≥ any block max), so
-survivor scores stay complete.  Only surviving blocks' payloads are
-shuffled to the per-query kernel, which applies the finer per-algorithm
-pruning (block intervals for BMW, term intervals for MaxScore, adaptive-θ
-docID-ordered pivoting for WAND) and returns the exact top-k —
-rank-identical to the exhaustive ranked-OR oracle, with the same rounding
-and (score DESC, doc ASC) tie discipline.
+Phase 2 — METADATA-ONLY block pruning + kernel: the exact upper-bound
+interval grid (union of block boundaries; summed w·block_max per
+interval) is evaluated per qid over the block-metadata projection —
+first_doc/last_doc/block_max columns, payloads untouched — and only
+blocks overlapping an interval with UB ≥ θ₀ ship their payloads to the
+per-query kernel.  Safety: any doc d with full UB(d) ≥ θ₀ lies in a
+surviving interval, and every block containing d overlaps that interval,
+so a pruned block cannot hold a top-k doc and survivor scores stay
+complete.  The kernel then applies the per-algorithm refinement (block
+intervals for BMW, term intervals for MaxScore, adaptive-θ docID-ordered
+pivoting for WAND) and returns the exact top-k — rank-identical to the
+exhaustive ranked-OR oracle, with the same rounding and (score DESC,
+doc ASC) tie discipline.
 
 Doc lengths travel WITH each block (``len_bytes``, encoded at build time,
 ds2s.blocks) — there is no driver-side dense lens array and no broadcast
@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .blocks import blocks_from_tf
@@ -255,16 +255,49 @@ def _make_kernel(k, algo, scorer, avg_len, rank_round):
     return kernel
 
 
-def _make_seed_kernel(k, scorer, avg_len, rank_round):
-    """Rarest-term blocks → (qid, theta0).  tf+len payloads only — docIDs
-    are irrelevant to the k-th best single-term lower bound."""
+def _make_plan_kernel(k, scorer, avg_len, rank_round, seed_max_blocks):
+    """qid × block METADATA rows (+ rarest-term tf/len payloads) →
+    surviving block keys.  ONE kernel does both phases:
+
+    θ₀ seed: rows with non-null ``seed_tf`` are the rarest term's blocks;
+    at most ``seed_max_blocks`` of them (highest block-max first) are
+    decoded and exact-scored; θ₀ = k-th best single-term lower bound,
+    loosened by one rounding quantum (any subset of true scores is a
+    valid, merely weaker, bound — the cap is always safe).
+
+    Exact interval pruning: the same upper-bound grid the scoring kernel
+    uses, evaluated over the metadata BEFORE any doc payload is shuffled.
+    A block survives iff it overlaps an interval whose summed block-max
+    upper bound reaches θ₀; any doc with full UB ≥ θ₀ lies in a surviving
+    interval and every block containing it overlaps that interval, so
+    survivor scores stay complete.  Emits per-term max alongside so the
+    scoring kernel needs no further metadata join.
+
+    Scale note: per qid this task holds METADATA of the query's terms —
+    n_postings/128 rows of a few scalars (a 10^9-posting term ≈ 8M rows ≈
+    tens of MB), the same per-query working set a ds2i search node walks —
+    plus the rarest term's tf/len payloads; doc payloads (the dominant
+    bytes) stay distributed and pruned."""
     k1, b = scorer.k1, scorer.b
     quantum = 10.0 ** (-rank_round) if rank_round is not None else 0.0
+    empty = {
+        "qid": pd.Series([], dtype="int32"),
+        "term_id": pd.Series([], dtype="int32"),
+        "block_id": pd.Series([], dtype="int32"),
+        "w": pd.Series([], dtype="float64"),
+        "idf": pd.Series([], dtype="float64"),
+        "max_score": pd.Series([], dtype="float64"),
+        "theta0": pd.Series([], dtype="float64"),
+    }
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # --- θ₀ from the seed (rarest-term) rows ---
+        seed = pdf[pdf["seed_tf"].notna()]
+        if seed_max_blocks > 0 and len(seed) > seed_max_blocks:
+            seed = seed.nlargest(seed_max_blocks, "block_max_score")
         parts = []
         for tb, lb, w, idf in zip(
-            pdf["tf_bytes"], pdf["len_bytes"], pdf["w"], pdf["idf"]
+            seed["seed_tf"], seed["seed_len"], seed["w"], seed["idf"]
         ):
             tf, _ = decode_tfs(bytes(tb))
             ln, _ = decode_tfs(bytes(lb))
@@ -281,7 +314,50 @@ def _make_seed_kernel(k, scorer, avg_len, rank_round):
         # on (doc ASC) — loosen the threshold accordingly
         if theta0 > 0.0:
             theta0 = max(0.0, theta0 - quantum)
-        return pd.DataFrame({"qid": [int(key[0])], "theta0": [theta0]})
+
+        # --- exact interval pruning over the metadata ---
+        per_term = []
+        groups = []
+        for term_id, g in pdf.groupby("term_id", sort=True):
+            g = g.sort_values("block_id")
+            bf = g["first_doc"].to_numpy(dtype=np.int64)
+            bl = g["last_doc"].to_numpy(dtype=np.int64)
+            ub = g["block_max_score"].to_numpy(dtype=np.float64) * float(
+                g["w"].iloc[0]
+            )
+            per_term.append(dict(firsts=bf, lasts=bl, ubs=ub))
+            groups.append((int(term_id), g))
+        points, ub_sum = _interval_grid(per_term)
+        surv = ub_sum >= theta0 if theta0 > 0.0 else np.ones(
+            len(points), dtype=bool
+        )
+        psurv = np.concatenate(([0], np.cumsum(surv)))
+        out = []
+        for (term_id, g), t in zip(groups, per_term):
+            lo = np.searchsorted(points, t["firsts"], side="right") - 1
+            hi = np.searchsorted(points, t["lasts"], side="right") - 1
+            take = (psurv[hi + 1] - psurv[lo]) > 0
+            if not take.any():
+                continue
+            gg = g.iloc[np.flatnonzero(take)]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.int32(key[0]),
+                        "term_id": np.int32(term_id),
+                        "block_id": gg["block_id"].to_numpy(dtype=np.int32),
+                        "w": gg["w"].to_numpy(dtype=np.float64),
+                        "idf": gg["idf"].to_numpy(dtype=np.float64),
+                        "max_score": float(
+                            g["block_max_score"].to_numpy(dtype=np.float64).max()
+                        ),
+                        "theta0": theta0,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(empty)
+        return pd.concat(out, ignore_index=True)
 
     return kernel
 
@@ -305,7 +381,7 @@ class ServingIndex:
 
     def __init__(self, idx: InvertedIndex, codec: str | None = None,
                  cfg: IndexConfig | None = None, blocks: DataFrame | None = None,
-                 seed_max_blocks: int = 64, prune_buckets: int = 1024):
+                 seed_max_blocks: int = 64):
         self.cfg = cfg or idx.cfg
         if blocks is None:
             postings = (
@@ -321,17 +397,15 @@ class ServingIndex:
             avg_len=idx.avg_len,
             blocks=blocks,
             seed_max_blocks=seed_max_blocks,
-            prune_buckets=prune_buckets,
         )
 
     def _init_tables(self, lexicon: DataFrame, n_docs: int, avg_len: float,
                      blocks: DataFrame, wand: DataFrame | None = None,
-                     seed_max_blocks: int = 64, prune_buckets: int = 1024) -> None:
+                     seed_max_blocks: int = 64) -> None:
         self.lexicon = lexicon
         self.n_docs = int(n_docs)
         self.avg_len = float(avg_len)
         self.seed_max_blocks = int(seed_max_blocks)
-        self.prune_buckets = int(prune_buckets)
         self.blocks = blocks.persist()
         if wand is None:
             # term upper bound = max over its block maxes — one small agg
@@ -343,7 +417,7 @@ class ServingIndex:
 
     @classmethod
     def from_store(cls, spark, store, cfg: IndexConfig | None = None,
-                   seed_max_blocks: int = 64, prune_buckets: int = 1024) -> "ServingIndex":
+                   seed_max_blocks: int = 64) -> "ServingIndex":
         """Serve from a persisted IndexStore (ds2s.manifest) — the
         ``succinct::mapper::map`` analogue ([U] succinct/mapper.hpp): the
         index IS the tables; no source corpus needed."""
@@ -357,88 +431,64 @@ class ServingIndex:
             blocks=store.load_blocks(spark),
             wand=store.load_table(spark, "wand_max"),
             seed_max_blocks=seed_max_blocks,
-            prune_buckets=prune_buckets,
         )
         return self
 
     # -- query-time plan ----------------------------------------------------
     def _resolve_cursors(self, qdf: DataFrame) -> list[tuple]:
-        """Query terms → (qid, term_id, w, df, idf) rows, collected.
+        """Query terms → (qid, term_id, w, df, idf) — the dictionary
+        lookup every ds2i query starts with.
 
-        The broadcast side is the QUERY (bounded by the batch), never the
-        lexicon; one lexicon scan per batch.  The collect is the
-        dictionary-lookup step — its size is ≤ the number of query terms,
-        independent of corpus scale."""
+        ONE predicate-pushed scan of the lexicon (``term IN (...)``, a
+        bounded literal list — at scale this prunes to the dictionary
+        partitions holding the query terms); everything else is driver
+        arithmetic over ≤ batch-size rows.  idf is computed with np.log,
+        the same libm the block-max encode kernel and the scoring kernels
+        use, so every pruning comparison is float-consistent."""
+        from collections import Counter
+
         scorer = self.cfg.scorer
         n = float(self.n_docs)
-        qagg = qdf.groupBy("qid", "term").agg(
-            F.count("*").cast("double").alias("w")
+        wcount = Counter(
+            (int(r["qid"]), r["term"])
+            for r in qdf.select("qid", "term").collect()
         )
-        cur = (
-            self.lexicon.join(F.broadcast(qagg), "term")
-            .withColumn(
-                "idf",
-                F.greatest(
-                    F.lit(scorer.idf_epsilon),
-                    F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-                ) * F.lit(1.0 + scorer.k1),
-            )
-            .select("qid", "term_id", "w", "df", "idf")
+        terms = sorted({t for _, t in wcount})
+        if not terms:
+            return []
+        lex = (
+            self.lexicon.filter(F.col("term").isin(terms))
+            .select("term", "term_id", "df")
+            .collect()
         )
-        return [
-            (int(r["qid"]), int(r["term_id"]), float(r["w"]), int(r["df"]),
-             float(r["idf"]))
-            for r in cur.collect()
-        ]
-
-    def _theta_df(self, spark, seed_rows: list[tuple], k: int,
-                  rank_round: int | None) -> DataFrame:
-        """(qid, theta0) from the rarest term's best blocks (capped)."""
-        seed_df = spark.createDataFrame(
-            seed_rows, schema="qid int, term_id int, w double, idf double"
-        )
-        meta = self.blocks.select("term_id", "block_id", "block_max_score")
-        seed_meta = meta.join(F.broadcast(seed_df), "term_id")
-        if self.seed_max_blocks > 0:
-            w_rank = Window.partitionBy("qid").orderBy(
-                F.desc("block_max_score"), F.asc("block_id")
-            )
-            seed_meta = (
-                seed_meta.withColumn("rn", F.row_number().over(w_rank))
-                .filter(F.col("rn") <= self.seed_max_blocks)
-            )
-        seed_keys = seed_meta.select("qid", "term_id", "block_id", "w", "idf")
-        seed_payload = self.blocks.select(
-            "term_id", "block_id", "tf_bytes", "len_bytes"
-        ).join(F.broadcast(seed_keys), ["term_id", "block_id"])
-        seed_kernel = _make_seed_kernel(k, self.cfg.scorer, self.avg_len, rank_round)
-        return seed_payload.groupBy("qid").applyInPandas(
-            seed_kernel, schema="qid int, theta0 double"
-        )
+        tmap = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in lex}
+        cur = []
+        for (qid, term), w in sorted(wcount.items()):
+            if term not in tmap:
+                continue  # OR semantics: unknown terms are ignored
+            tid, df = tmap[term]
+            idf = max(
+                scorer.idf_epsilon,
+                float(np.log((n - df + 0.5) / (df + 0.5))),
+            ) * (1.0 + scorer.k1)
+            cur.append((qid, tid, float(w), df, idf))
+        return cur
 
     def survivor_blocks(self, qdf: DataFrame, k: int = 10,
                         rank_round: int | None = 6) -> DataFrame:
-        """The relationally pre-pruned (qid × block) rows — metadata +
-        payloads — that the kernel will actually receive.  Exposed for the
+        """The pre-pruned (qid × block) rows — metadata + payloads — that
+        the scoring kernel will actually receive.  Exposed for the
         decode-pruning metric: ``survivor_blocks(...).count()`` vs the
         unpruned qid × term-blocks join.
 
-        Pruning bound (position-aware, metadata-only): docID space is cut
-        into ``prune_buckets`` coarse ranges; per (qid, bucket, term) the
-        max block upper bound is aggregated; a block B of term t survives
-        iff for SOME bucket it overlaps,
-
-            w_t·block_max(B) + Σ_{t'≠t} bucketmax(t') ≥ θ₀ .
-
-        Safety: a doc d in B lies in one bucket; every block of another
-        term containing d overlaps that bucket, so d's full upper bound is
-        ≤ the bucket bound — a failing block cannot hold a doc reaching
-        θ₀, and every block containing a potential top-k doc passes (its
-        bucket bound dominates that doc's UB).  Unlike a term-global sum
-        bound, this prunes a hot term's blocks in docID regions where the
-        rare terms are absent — the I/O skip that is the whole point of
-        block-max metadata ([U] ds2i block_max_wand_query), done here as
-        equi-joins on the block-metadata table (payloads untouched)."""
+        The resolved cursors re-enter the plan as literal broadcast rows;
+        every non-seed row carries NULL tf/len payloads (projected out
+        BEFORE the shuffle); a single per-qid kernel seeds θ₀ from the
+        rarest term's best blocks and runs the exact upper-bound interval
+        grid over the metadata (see _make_plan_kernel for the safety
+        argument); only surviving block keys come back, and only their
+        payloads join into the scoring kernel.  Payloads of pruned blocks
+        never shuffle."""
         spark = qdf.sparkSession
         cur = self._resolve_cursors(qdf)
         if not cur:
@@ -446,70 +496,47 @@ class ServingIndex:
             for c in ("w", "idf", "max_score", "theta0"):
                 empty = empty.withColumn(c, F.lit(0.0))
             return empty
-        # per-(qid, term) metadata: join the resolved cursors (literal,
-        # broadcast) against the small per-term max table
-        cur_df = spark.createDataFrame(
-            cur, schema="qid int, term_id int, w double, df int, idf double"
-        )
-        tm = [
-            (int(r["qid"]), int(r["term_id"]), float(r["w"]), int(r["df"]),
-             float(r["idf"]), float(r["max_score"]))
-            for r in self.wand.join(F.broadcast(cur_df), "term_id").select(
-                "qid", "term_id", "w", "df", "idf", "max_score"
-            ).collect()
-        ]
+        # rarest term per qid (min df, term_id tiebreak) — seeds θ₀
         rarest: dict[int, tuple] = {}
-        for row in tm:
-            qid, term_id, w, df, idf, mx = row
-            cur_best = rarest.get(qid)
-            if cur_best is None or (df, term_id) < (cur_best[3], cur_best[1]):
-                rarest[qid] = row
-        meta_df = spark.createDataFrame(
-            [(qid, term_id, w, idf, mx) for qid, term_id, w, df, idf, mx in tm],
-            schema="qid int, term_id int, w double, idf double, max_score double",
-        )
-        seed_rows = [
-            (qid, term_id, w, idf)
-            for qid, term_id, w, df, idf, mx in rarest.values()
+        for qid, tid, w, df, idf in cur:
+            best = rarest.get(qid)
+            if best is None or (df, tid) < (best[1], best[0]):
+                rarest[qid] = (tid, df)
+        meta_rows = [
+            (qid, tid, w, idf, rarest[qid][0] == tid)
+            for qid, tid, w, df, idf in cur
         ]
-        theta = self._theta_df(spark, seed_rows, k, rank_round)
-
-        stride = max(1, -(-self.n_docs // self.prune_buckets))  # ceil
-        bm = (
+        meta_df = spark.createDataFrame(
+            meta_rows,
+            schema="qid int, term_id int, w double, idf double, is_seed boolean",
+        )
+        bmeta = (
             self.blocks.select(
-                "term_id", "block_id", "first_doc", "last_doc", "block_max_score"
+                "term_id", "block_id", "first_doc", "last_doc",
+                "block_max_score", "tf_bytes", "len_bytes",
             )
-            .join(F.broadcast(meta_df.select("qid", "term_id", "w")), "term_id")
-            .withColumn("ub", F.col("w") * F.col("block_max_score"))
+            .join(F.broadcast(meta_df), "term_id")
+            .select(
+                "qid", "term_id", "block_id", "first_doc", "last_doc",
+                "block_max_score", "w", "idf",
+                F.when(F.col("is_seed"), F.col("tf_bytes")).alias("seed_tf"),
+                F.when(F.col("is_seed"), F.col("len_bytes")).alias("seed_len"),
+            )
         )
-        covers = bm.withColumn(
-            "cb",
-            F.explode(
-                F.sequence(
-                    (F.col("first_doc") / stride).cast("long"),
-                    (F.col("last_doc") / stride).cast("long"),
-                )
-            ),
-        ).select("qid", "term_id", "block_id", "ub", "cb")
-        tmax_b = covers.groupBy("qid", "cb", "term_id").agg(
-            F.max("ub").alias("tub")
+        plan_kernel = _make_plan_kernel(
+            k, self.cfg.scorer, self.avg_len, rank_round, self.seed_max_blocks
         )
-        sums = tmax_b.groupBy("qid", "cb").agg(F.sum("tub").alias("sum_ub"))
-        bounds = (
-            covers.join(tmax_b, ["qid", "cb", "term_id"])
-            .join(sums, ["qid", "cb"])
-            .withColumn("bound", F.col("ub") + F.col("sum_ub") - F.col("tub"))
-            .groupBy("qid", "term_id", "block_id")
-            .agg(F.max("bound").alias("bound"))
+        surv_schema = (
+            "qid int, term_id int, block_id int, w double, idf double, "
+            "max_score double, theta0 double"
         )
-        surv_keys = (
-            bounds.join(F.broadcast(theta), "qid")
-            .filter(F.col("bound") * F.lit(_UB_MARGIN) >= F.col("theta0"))
-            .select("qid", "term_id", "block_id", "theta0")
+        surv_keys = bmeta.groupBy("qid").applyInPandas(
+            plan_kernel, schema=surv_schema
         )
-        return self.blocks.join(
-            F.broadcast(surv_keys), ["term_id", "block_id"]
-        ).join(F.broadcast(meta_df), ["qid", "term_id"])
+        return self.blocks.select(
+            "term_id", "block_id", "n", "first_doc", "last_doc",
+            "doc_bytes", "tf_bytes", "len_bytes", "block_max_score",
+        ).join(F.broadcast(surv_keys), ["term_id", "block_id"])
 
     def topk(self, qdf: DataFrame, k: int = 10, algo: str = "bmw",
              rank_round: int | None = 6) -> DataFrame:
