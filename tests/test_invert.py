@@ -56,6 +56,34 @@ def test_dense_ids_independent_of_parallelism(spark):
     assert ra == rb
 
 
+def test_build_lexicon_join_not_forced_broadcast(spark):
+    """The tf ⋈ lexicon join must survive a vocabulary too large to
+    broadcast: with every automatic broadcast disabled the plan flips to a
+    shuffle join (no BroadcastHashJoin) and the build still produces
+    identical tables — the lexicon is never forced through the driver."""
+    from ds2s.corpus import synth_corpus
+    from ds2s.invert import build_index
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = build_index(synth_corpus(spark), build_arrays=False)
+        plan = idx.tf._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        ref = build_index(synth_corpus(spark), build_arrays=False)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    a = sorted(
+        (r["term_id"], r["doc_id"], r["tf"], r["df"]) for r in idx.tf.collect()
+    )
+    b = sorted(
+        (r["term_id"], r["doc_id"], r["tf"], r["df"]) for r in ref.tf.collect()
+    )
+    assert a == b
+    idx.unpersist()
+    ref.unpersist()
+
+
 def test_sha256_invariant(spark):
     import hashlib
 
