@@ -271,7 +271,13 @@ def blocks_from_tf(
     # on a 6.3 M-posting probe).  No driver collect anywhere.
     from pyspark.sql import Window
 
-    counts = salted.groupBy("term_id", "salt").agg(F.count("*").alias("cnt"))
+    # counts derive from the POST-shuffle side so Spark's ReuseExchange
+    # dedupes: the (term, salt) exchange appears in both the fragment
+    # branch and this counts branch of the final plan and executes once —
+    # the posting table is scanned exactly once end-to-end
+    counts = sorted_salted.groupBy("term_id", "salt").agg(
+        F.count("*").alias("cnt")
+    )
     w_off = Window.partitionBy("term_id").orderBy("salt")
     offsets = counts.select(
         "term_id", "salt",

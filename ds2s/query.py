@@ -56,9 +56,9 @@ def bm25_score_col(scorer: Scorer, n_docs: int, avg_len: float) -> Column:
 def _scored(idx: InvertedIndex, qdf: DataFrame) -> DataFrame:
     """(qid, doc_id, score): per-doc summed BM25 over matched query cursors."""
     scorer = idx.cfg.scorer
+    # len rides inside tf (ds2s.invert.build_tf) — no sizes join
     hits = (
-        qdf.join(idx.tf.select("term", "doc_id", "tf", "df"), "term")
-        .join(idx.sizes, "doc_id")
+        qdf.join(idx.tf.select("term", "doc_id", "tf", "len", "df"), "term")
         .withColumn("contrib", bm25_score_col(scorer, idx.n_docs, idx.avg_len))
     )
     return hits.groupBy("qid", "doc_id").agg(F.sum("contrib").alias("score"))

@@ -384,10 +384,9 @@ class ServingIndex:
                  seed_max_blocks: int = 64):
         self.cfg = cfg or idx.cfg
         if blocks is None:
-            postings = (
-                idx.tf.select("term_id", "doc_id", "tf", "df")
-                .join(idx.sizes, "doc_id")
-            )
+            # len rides inside tf (ds2s.invert.build_tf) — ONE cache scan,
+            # no doc-keyed join of the posting table
+            postings = idx.tf.select("term_id", "doc_id", "tf", "len", "df")
             blocks = blocks_from_tf(
                 postings, idx.n_docs, self.cfg, codec=codec, avg_len=idx.avg_len
             )

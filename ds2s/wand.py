@@ -27,10 +27,9 @@ from .query import bm25_score_col
 
 def _scored_postings(idx: InvertedIndex) -> DataFrame:
     """(term_id, doc_id, tf, contrib) — every posting with its BM25 term
-    contribution (float64)."""
+    contribution (float64).  len rides inside tf (no sizes join)."""
     return (
-        idx.tf.select("term_id", "doc_id", "tf", "df")
-        .join(idx.sizes, "doc_id")
+        idx.tf.select("term_id", "doc_id", "tf", "len", "df")
         .withColumn("contrib", bm25_score_col(idx.cfg.scorer, idx.n_docs, idx.avg_len))
     )
 

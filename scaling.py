@@ -93,10 +93,9 @@ def child(cores: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def scored_blocks(idx):
-        """ONE pass emits payloads + len payloads + block-max metadata."""
-        postings = idx.tf.select("term_id", "doc_id", "tf", "df").join(
-            idx.sizes, "doc_id"
-        )
+        """ONE pass emits payloads + len payloads + block-max metadata;
+        len rides inside tf — no doc-keyed join of the posting table."""
+        postings = idx.tf.select("term_id", "doc_id", "tf", "len", "df")
         return blocks_from_tf(postings, idx.n_docs, avg_len=idx.avg_len)
 
     # untimed warm-up on a small slice: JIT/codegen compilation + python
