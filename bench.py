@@ -44,6 +44,15 @@ def main() -> None:
     idx.postings.count()
     timings["build"] = round(time.perf_counter() - t0, 3)
 
+    # the compressed serving index (block encode + len payloads +
+    # block-max) gets its own timing entry instead of hiding inside
+    # whichever query touches it first
+    t0 = time.perf_counter()
+    sidx = E._sindex(spark, sf_dir)
+    sidx.blocks.count()
+    sidx.wand.count()
+    timings["sidx_encode"] = round(time.perf_counter() - t0, 3)
+
     for name, fn in E.queries().items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

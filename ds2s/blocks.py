@@ -165,75 +165,81 @@ def blocks_from_tf(
     scored = avg_len is not None and "len" in tf.columns and "df" in tf.columns
     scorer = cfg.scorer
 
+    # salt only where it pays: a cold term's run needs no splitting, and
+    # salting EVERY term multiplies the run count by n_salt (416k runs on
+    # a 52k-term probe — per-run overhead and offset-table size 8×).  With
+    # a df column the salt applies to hot terms only (same conditional as
+    # build_postings); without one (oracle-surface callers) salting stays
+    # unconditional — outputs are identical either way (tested).
     cols = ["term_id", "doc_id", "tf"] + (["len", "df"] if scored else [])
-    salted = tf.select(
-        *cols, (F.col("doc_id") / stride).cast("int").alias("salt")
+    range_salt = (F.col("doc_id") / stride).cast("int")
+    salt_col = (
+        F.when(F.col("df") > cfg.hot_term_df, range_salt).otherwise(F.lit(0))
+        if "df" in tf.columns else range_salt
     )
+    salted = tf.select(*cols, salt_col.alias("salt"))
 
-    # ONE shuffle of the posting table: group (term, salt) → columnar
-    # pandas (no per-posting structs/dicts), sort in numpy, split into
-    # run-LOCAL 128-aligned fragments.  Global positions are resolved at
-    # FRAGMENT granularity (128× fewer rows): per-(term, salt) run lengths
-    # aggregate from the fragments themselves, a windowed cumsum gives the
-    # prefix offsets, and the (tiny) offsets table joins back against the
-    # fragment rows — never against the posting table (a sort-merge join
-    # there re-sorted the whole posting table: measured 10.9 s vs 0.8 s on
-    # a 6.3 M-posting probe; the round-1 driver-collect variant is equally
-    # gone, so nothing vocabulary-sized touches the driver).
-    frag_schema = (
-        "term_id int, salt int, local_start long, first_doc long, "
-        "docs array<long>, tfs array<long>"
-    )
-    if scored:
-        frag_schema += ", lens array<long>, df long"
-
-    # partition-wise, NOT one pandas group per (term, salt): the vocabulary
-    # × n_salt group count makes per-group pandas construction the
-    # dominant cost (measured 9.6 s for a TRIVIAL kernel over 112k groups
-    # of a 6.3 M-posting probe).  The shuffle sorts (term, salt, doc) in
-    # the JVM (Tungsten) and the kernel streams Arrow batches, carrying
-    # the open run across batch boundaries — same idiom as merge_iter.
-    par = spark.sparkContext.defaultParallelism
-    sorted_salted = salted.repartition(par, "term_id", "salt").sortWithinPartitions(
+    # ONE shuffle of the posting table, then a partition-wise split kernel
+    # (per-(term, salt) pandas groups cost 9.6 s for a TRIVIAL kernel over
+    # 112k groups of a 6.3 M-posting probe; the shuffle sorts (term, salt,
+    # doc) in the JVM and the kernel streams Arrow batches, carrying the
+    # open run across batch boundaries — same idiom as merge_iter).
+    #
+    # Fragments carry their payloads as FLAT BINARY blobs (little-endian
+    # int64 docs / int32 tfs+lens via numpy tobytes/frombuffer): array<long>
+    # columns pay per-element JVM boxing at every exchange and Python
+    # boundary — the event-log profile showed 2112 CPU-s (141 s GC) in the
+    # split stage alone at 50 M postings, almost all of it array
+    # (de)serialization, against 0.45 s of actual Python kernel work.
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_salted = salted.repartition(sp, "term_id", "salt").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )
+
+    frag_schema = (
+        "term_id int, salt int, local_start long, "
+        "docs_bin binary, tfs_bin binary"
+    )
+    if scored:
+        frag_schema += ", lens_bin binary, df long"
 
     def split_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pend_key = None
         pend_df = 0
         pend: list[tuple] = []  # (docs, tfs, lens) chunks of the open run
 
-        out_cols = ["term_id", "salt", "local_start", "first_doc", "docs", "tfs"]
+        out_cols = ["term_id", "salt", "local_start", "docs_bin", "tfs_bin"]
         if scored:
-            out_cols += ["lens", "df"]
+            out_cols += ["lens_bin", "df"]
         out: dict[str, list] = {k: [] for k in out_cols}
 
         def flush():
-            docs = np.concatenate([p[0] for p in pend])
-            tfs = np.concatenate([p[1] for p in pend])
-            lens = np.concatenate([p[2] for p in pend]) if scored else None
-            cuts = np.arange(bs, len(docs), bs)
-            d_parts = np.split(docs, cuts)
-            t_parts = np.split(tfs, cuts)
-            l_parts = np.split(lens, cuts) if scored else None
+            docs = pend[0][0] if len(pend) == 1 else np.concatenate([p[0] for p in pend])
+            tfs = pend[0][1] if len(pend) == 1 else np.concatenate([p[1] for p in pend])
+            lens = (
+                (pend[0][2] if len(pend) == 1 else np.concatenate([p[2] for p in pend]))
+                if scored else None
+            )
             term_id, salt = pend_key
-            for i, (d, t) in enumerate(zip(d_parts, t_parts)):
+            for i in range(0, max(len(docs), 1), bs):
+                d = docs[i : i + bs]
+                if len(d) == 0:
+                    continue
                 out["term_id"].append(term_id)
                 out["salt"].append(salt)
-                out["local_start"].append(i * bs)
-                out["first_doc"].append(int(d[0]))
-                out["docs"].append(d)
-                out["tfs"].append(t)
+                out["local_start"].append(i)
+                out["docs_bin"].append(d.tobytes())
+                out["tfs_bin"].append(tfs[i : i + bs].tobytes())
                 if scored:
-                    out["lens"].append(l_parts[i])
+                    out["lens_bin"].append(lens[i : i + bs].tobytes())
                     out["df"].append(pend_df)
 
         for pdf in batches:
             t_arr = pdf["term_id"].to_numpy()
             s_arr = pdf["salt"].to_numpy()
-            d_arr = pdf["doc_id"].to_numpy().astype(np.int64)
-            f_arr = pdf["tf"].to_numpy().astype(np.int64)
-            l_arr = pdf["len"].to_numpy().astype(np.int64) if scored else None
+            d_arr = pdf["doc_id"].to_numpy().astype("<i8")
+            f_arr = pdf["tf"].to_numpy().astype("<i4")
+            l_arr = pdf["len"].to_numpy().astype("<i4") if scored else None
             df_arr = pdf["df"].to_numpy() if scored else None
             # boundaries where (term, salt) changes
             change = np.flatnonzero(
@@ -263,21 +269,14 @@ def blocks_from_tf(
     local_frags = sorted_salted.mapInPandas(split_iter, frag_schema)
 
     # per-(term, salt) prefix offsets: map-side-combined count agg over the
-    # raw postings (cheap scan of the cached tf; deriving them from the
-    # fragment table would re-execute the whole split stage twice) →
-    # windowed cumsum over ≤ n_salt rows per term → broadcast-joined
-    # against the FRAGMENT rows (128× fewer than postings; a join against
-    # the posting table sort-merge-re-sorted it: measured 10.9 s vs 0.8 s
-    # on a 6.3 M-posting probe).  No driver collect anywhere.
+    # raw postings (deriving them from the fragment table would re-execute
+    # the whole split stage twice) → windowed cumsum over ≤ n_salt rows per
+    # term → joined against the FRAGMENT rows (≥128× fewer than postings; a
+    # join against the posting table sort-merge-re-sorted it: measured
+    # 10.9 s vs 0.8 s on a 6.3 M-posting probe).  No driver collect.
     from pyspark.sql import Window
 
-    # counts derive from the POST-shuffle side so Spark's ReuseExchange
-    # dedupes: the (term, salt) exchange appears in both the fragment
-    # branch and this counts branch of the final plan and executes once —
-    # the posting table is scanned exactly once end-to-end
-    counts = sorted_salted.groupBy("term_id", "salt").agg(
-        F.count("*").alias("cnt")
-    )
+    counts = salted.groupBy("term_id", "salt").agg(F.count("*").alias("cnt"))
     w_off = Window.partitionBy("term_id").orderBy("salt")
     offsets = counts.select(
         "term_id", "salt",
@@ -287,44 +286,69 @@ def blocks_from_tf(
         "gstart", F.col("offset") + F.col("local_start")
     )
 
-    # re-cut ENTIRELY JVM-side (no extra Arrow round-trip of the arrays):
-    # a ≤block_size fragment spans at most TWO global blocks — slice at
-    # the block boundary and explode the 1-2 pieces
-    sz = F.size("docs")
+    # re-cut ENTIRELY JVM-side on the flat binaries (byte-offset substring
+    # — no per-element work anywhere): a ≤block_size fragment spans at
+    # most TWO global blocks; pieces sort by global start position, which
+    # equals docID order within a term, so the merge kernel never needs to
+    # peek inside the blobs
+    sz = F.expr("length(docs_bin) div 8")
     bid0 = F.floor(F.col("gstart") / bs)
     bid1 = F.floor((F.col("gstart") + sz - 1) / bs)
-    c = (bid1 * bs - F.col("gstart")).cast("int")
+    cut = (bid1 * bs - F.col("gstart")).cast("int")
+    gf = (
+        gfrags.withColumn("sz", sz.cast("int"))
+        .withColumn("bid0", bid0.cast("int"))
+        .withColumn("bid1", bid1.cast("int"))
+        .withColumn("cut", cut)
+    )
 
-    def piece(bid, start, length):
+    def piece_expr(which: str) -> F.Column:
+        if which == "single":
+            b, d, t, ln = "bid0", "docs_bin", "tfs_bin", "lens_bin"
+            fields = [
+                F.col(b).alias("block_id"), F.col("gstart").alias("gstart"),
+                F.col(d).alias("docs_bin"), F.col(t).alias("tfs_bin"),
+            ]
+            if scored:
+                fields += [F.col(ln).alias("lens_bin"), F.col("df").alias("df")]
+            return F.struct(*fields)
+        if which == "a":
+            sel = ("bid0", "substring(docs_bin, 1, 8*cut)",
+                   "substring(tfs_bin, 1, 4*cut)",
+                   "substring(lens_bin, 1, 4*cut)", "gstart")
+        else:
+            sel = ("bid1", "substring(docs_bin, 8*cut+1, 8*(sz-cut))",
+                   "substring(tfs_bin, 4*cut+1, 4*(sz-cut))",
+                   "substring(lens_bin, 4*cut+1, 4*(sz-cut))",
+                   "gstart + cut")
         fields = [
-            bid.cast("int").alias("block_id"),
-            F.slice(F.col("docs"), start, length).alias("docs"),
-            F.slice(F.col("tfs"), start, length).alias("tfs"),
+            F.col(sel[0]).alias("block_id"), F.expr(sel[4]).alias("gstart"),
+            F.expr(sel[1]).alias("docs_bin"), F.expr(sel[2]).alias("tfs_bin"),
         ]
         if scored:
-            fields.append(F.slice(F.col("lens"), start, length).alias("lens"))
-            fields.append(F.col("df").alias("df"))
+            fields += [F.expr(sel[3]).alias("lens_bin"), F.col("df").alias("df")]
         return F.struct(*fields)
 
     pieces = F.when(
-        bid1 > bid0,
-        F.array(piece(bid0, F.lit(1), c), piece(bid1, c + 1, (sz - c).cast("int"))),
-    ).otherwise(F.array(piece(bid0, F.lit(1), sz)))
+        F.col("bid1") > F.col("bid0"),
+        F.array(piece_expr("a"), piece_expr("b")),
+    ).otherwise(F.array(piece_expr("single")))
     pcols = ["term_id", F.col("p.block_id").alias("block_id"),
-             F.element_at("p.docs", 1).alias("first_doc"),
-             F.col("p.docs").alias("docs"), F.col("p.tfs").alias("tfs")]
+             F.col("p.gstart").alias("gstart"),
+             F.col("p.docs_bin").alias("docs_bin"),
+             F.col("p.tfs_bin").alias("tfs_bin")]
     if scored:
-        pcols += [F.col("p.lens").alias("lens"), F.col("p.df").alias("df")]
-    frags = gfrags.select("term_id", F.explode(pieces).alias("p")).select(*pcols)
+        pcols += [F.col("p.lens_bin").alias("lens_bin"), F.col("p.df").alias("df")]
+    frags = gf.select("term_id", F.explode(pieces).alias("p")).select(*pcols)
 
     # merge + encode partition-wise (NOT one applyInPandas group per block:
     # per-group pandas overhead × n_blocks dwarfs the actual encode).  The
     # repartition co-locates a block's fragments; the sort puts them in
-    # (term, block, doc) order so change-detection merging streams through
-    # Arrow batches, carrying the open block across batch boundaries.
-    par = spark.sparkContext.defaultParallelism
-    sorted_frags = frags.repartition(par, "term_id", "block_id").sortWithinPartitions(
-        "term_id", "block_id", "first_doc"
+    # (term, block, global-position) order so change-detection merging
+    # streams through Arrow batches, carrying the open block across batch
+    # boundaries.
+    sorted_frags = frags.repartition(sp, "term_id", "block_id").sortWithinPartitions(
+        "term_id", "block_id", "gstart"
     )
 
     out_cols = ["term_id", "block_id", "n", "first_doc", "last_doc",
@@ -360,7 +384,10 @@ def blocks_from_tf(
             if scored:
                 ln = pend_l[0] if len(pend_l) == 1 else np.concatenate(pend_l)
                 ln = ln.astype(np.uint64, copy=False)
-                out["len_bytes"].append(encode_tfs(ln, codec if codec != "auto" else "optpfd"))
+                # lens are normalization data, not ranked content — group
+                # varint encodes them ~2× faster than OptPFD (109 µs vs
+                # 211 µs per block) at a modest size premium
+                out["len_bytes"].append(encode_tfs(ln, "gvb"))
                 # same float64 expression shape as the serve kernel and the
                 # DuckDB oracle (round-4 stable)
                 dfv = float(pend_df)
@@ -372,10 +399,10 @@ def blocks_from_tf(
                 out["block_max_score"].append(float(contrib.max()))
 
         for pdf in batches:
-            lens_col = pdf["lens"] if scored else pdf["tfs"]
+            lens_col = pdf["lens_bin"] if scored else pdf["tfs_bin"]
             df_col = pdf["df"] if scored else pdf["term_id"]
             for term_id, block_id, docs, tfs, lens, dfv in zip(
-                pdf["term_id"], pdf["block_id"], pdf["docs"], pdf["tfs"],
+                pdf["term_id"], pdf["block_id"], pdf["docs_bin"], pdf["tfs_bin"],
                 lens_col, df_col,
             ):
                 key = (int(term_id), int(block_id))
@@ -384,10 +411,10 @@ def blocks_from_tf(
                         flush()
                     pend_key, pend_d, pend_t, pend_l = key, [], [], []
                     pend_df = int(dfv)
-                pend_d.append(np.asarray(docs))
-                pend_t.append(np.asarray(tfs))
+                pend_d.append(np.frombuffer(docs, dtype="<i8"))
+                pend_t.append(np.frombuffer(tfs, dtype="<i4"))
                 if scored:
-                    pend_l.append(np.asarray(lens))
+                    pend_l.append(np.frombuffer(lens, dtype="<i4"))
             if out["term_id"]:
                 yield pd.DataFrame(out)
                 out = {k: [] for k in out}

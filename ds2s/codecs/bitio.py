@@ -109,8 +109,17 @@ def _clz64(v: np.ndarray) -> np.ndarray:
 
 
 def bit_length(v: np.ndarray) -> np.ndarray:
-    """bit_length per element (0 → 0)."""
-    return 64 - _clz64(v.astype(np.uint64, copy=False))
+    """bit_length per element (0 → 0).
+
+    Fast path: np.frexp exponents are exact for values < 2^53 (every value
+    representable in float64), one vectorized op instead of the 6-round
+    shift loop — this runs 2-4× per block on the encode hot path."""
+    v = np.asarray(v, dtype=np.uint64)
+    if len(v) == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(v.max()) < (1 << 53):
+        return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+    return 64 - _clz64(v)
 
 
 # --- little self-describing header helpers (u32/u64 LE) ---

@@ -28,14 +28,16 @@ from .bitio import (
 BLOCK = 128
 
 
-def _choose_width(v: np.ndarray) -> int:
+def _choose_width(v: np.ndarray, bl: np.ndarray | None = None) -> int:
     """argmin_b of frame bits + exception bytes (positions + varint highs).
 
     Fully vectorized over all candidate widths (n×34 matrix) — this runs
-    once per 128-posting block on the build hot path."""
+    once per 128-posting block on the build hot path.  ``bl`` (per-value
+    bit lengths) may be passed in to avoid recomputation."""
     if len(v) == 0:
         return 0
-    bl = bit_length(v).astype(np.int64)
+    if bl is None:
+        bl = bit_length(v).astype(np.int64)
     max_bl = int(bl.max())
     n = len(v)
     B = np.arange(max_bl + 1, dtype=np.int64)
@@ -55,10 +57,10 @@ def pfd_encode_block(values: np.ndarray) -> bytes:
     """One block (len ≤ 128) of non-negative uint64 values."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
-    b = _choose_width(v)
+    bl = bit_length(v).astype(np.int64) if n else np.zeros(0, np.int64)
+    b = _choose_width(v, bl)
     mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1) if b else np.uint64(0)
     lows = pack_bits(v & mask, b) if b else b""
-    bl = bit_length(v)
     exc_pos = np.flatnonzero(bl > b)
     highs = (v[exc_pos] >> np.uint64(b)) if len(exc_pos) else np.zeros(0, np.uint64)
     out = bytes([n - 1 if n else 0, b, len(exc_pos)])
