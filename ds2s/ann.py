@@ -7,12 +7,17 @@ Training-data pipeline operator (see ds2s.textops docstring for scope).
   top-k via window.  The correctness oracle.
 - ``lsh_topk``: random-hyperplane LSH — deterministic planes derived from
   md5 (no RNG state, reproducible across cluster sizes), bucket join with
-  Hamming-1 multi-probe on the query side, exact rerank within buckets.
-  Sub-linear candidate set; recall < 1 by design (property-tested against
-  the brute-force oracle, rows-only driver check).  Plane count trades
-  recall for candidate volume: the sign-collision probability per plane is
-  1 − θ/π, so tightly-clustered real embedding spaces take more planes
-  than the near-uniform fixture vectors (defaults tuned for the latter).
+  margin-ordered multiprobe on the query side (Lv et al. 2007), exact
+  rerank within buckets.  Sub-linear candidate set; recall < 1 by design
+  (property-tested against the brute-force oracle, rows-only driver
+  check).  Plane count trades recall for candidate volume: the
+  sign-collision probability per plane is 1 − θ/π.  The LSH exponent
+  ρ = ln(1/p₁)/ln(1/p₂) bounds the frontier: on the near-uniform fixture
+  (top-10 cosine ≈ 0.32 → p₁ ≈ 0.61 vs p₂ = 0.5 → ρ ≈ 0.73) candidates
+  scale as n^0.73, so at fixture n=2000 a high-recall operating point
+  inspects a large corpus fraction — the method pays exactly when n is
+  large or the space is clustered (real embedding spaces are; see
+  tests/test_ann_recall.py, recall ≥ 0.9 at ≤ 5% candidates).
 
 Scale: brute force shuffles nothing (queries broadcast, one pass over the
 collection, TakeOrderedAndProject per query); LSH adds one narrow signature
@@ -133,26 +138,62 @@ def auto_lsh_params(n_vectors: int) -> tuple[int, int]:
     return n_planes, n_tables
 
 
+def _probe_masks(margins: np.ndarray, n_probes: int, max_flip: int = 12) -> list[int]:
+    """Margin-ordered multiprobe (Lv et al., 'Multi-Probe LSH', VLDB 2007):
+    the ``n_probes`` cheapest XOR masks, where a mask's cost is the summed
+    |projection margin| of the flipped planes — a neighbor most likely
+    differs on the planes the query itself barely cleared.  Deterministic
+    (ties broken by mask value)."""
+    import itertools
+
+    order = np.argsort(margins, kind="stable")[: min(len(margins), max_flip)]
+    subs: list[tuple[float, int]] = [(0.0, 0)]
+    for r in range(1, len(order) + 1):
+        for c in itertools.combinations(range(len(order)), r):
+            mask = 0
+            for j in c:
+                mask |= 1 << int(order[j])
+            subs.append((float(margins[order[list(c)]].sum()), mask))
+    subs.sort()
+    return [m for _, m in subs[:n_probes]]
+
+
 def lsh_candidates(
     embeddings: DataFrame,
     queries: DataFrame,
     n_planes: int = 6,
     n_tables: int = 4,
     multiprobe: int = 1,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """(qid, vec_id) distinct candidate pairs: vectors sharing an LSH
-    bucket with the query in ANY table, Hamming-≤``multiprobe`` probing on
-    the query side."""
+    bucket with the query in ANY table, with margin-ordered multiprobe on
+    the query side (``n_probes`` buckets per table; defaults to
+    ``1 + n_planes`` — the Hamming-1 budget — when ``multiprobe`` ≥ 1).
+
+    The query side is a bounded batch: its projections collect to the
+    driver, probe masks are numpy per (query, table), and the probe rows
+    re-enter the plan as a broadcast literal — the collection-side bucket
+    table is never moved, only bucket-joined."""
+    if n_probes is None:
+        n_probes = 1 + n_planes if multiprobe >= 1 else 1
     buckets = lsh_buckets(embeddings, n_planes, n_tables)
-    probes = [0] + ([1 << j for j in range(n_planes)] if multiprobe >= 1 else [])
-    qb = (
-        buckets.join(queries.select("vec_id"), "vec_id")
-        .withColumn("probe", F.explode(F.array(*[F.lit(p) for p in probes])))
-        .select(
-            F.col("vec_id").alias("qid"),
-            "table",
-            F.col("bucket").bitwiseXOR(F.col("probe")).alias("bucket"),
-        )
+    spark = embeddings.sparkSession
+
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = [_planes(dim, n_planes, t) for t in range(n_tables)]
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+    qrows = queries.select("vec_id", "embedding").collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for t, P in enumerate(planes):
+            proj = P @ v
+            bucket = int((proj > 0).astype(np.uint64) @ weights)
+            for m in _probe_masks(np.abs(proj), n_probes):
+                probe_rows.append((int(r["vec_id"]), t, bucket ^ m))
+    qb = spark.createDataFrame(
+        probe_rows, schema="qid long, table int, bucket long"
     )
     return (
         buckets.join(F.broadcast(qb), ["table", "bucket"])
@@ -169,6 +210,7 @@ def lsh_topk(
     n_planes: int | None = 6,
     n_tables: int | None = 4,
     multiprobe: int = 1,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """(qid, rank, vec_id, cosine) approximate top-k: LSH-bucketed
     candidates (``lsh_candidates``) exact-ranked.  Pass ``n_planes=None``
@@ -178,7 +220,9 @@ def lsh_topk(
         auto_p, auto_t = auto_lsh_params(embeddings.count())
         n_planes = n_planes or auto_p
         n_tables = n_tables or auto_t
-    cand = lsh_candidates(embeddings, queries, n_planes, n_tables, multiprobe)
+    cand = lsh_candidates(
+        embeddings, queries, n_planes, n_tables, multiprobe, n_probes
+    )
     base = _as_double(embeddings)
     q = _as_double(queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")

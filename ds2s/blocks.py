@@ -191,7 +191,10 @@ def blocks_from_tf(
     # boundary — the event-log profile showed 2112 CPU-s (141 s GC) in the
     # split stage alone at 50 M postings, almost all of it array
     # (de)serialization, against 0.45 s of actual Python kernel work.
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # 'auto' on AQE auto-partitioning platforms
+        sp = spark.sparkContext.defaultParallelism
     sorted_salted = salted.repartition(sp, "term_id", "salt").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )

@@ -69,6 +69,19 @@ class IndexConfig:
     dedupe_query_terms: bool = False  # upstream keeps duplicate cursors
     scorer: Scorer = field(default_factory=Scorer)
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        """Rebuild the frozen config persisted in an index manifest
+        (_index.json) — serving MUST score with the build-time scorer or
+        block-max upper bounds silently desync from kernel scores."""
+        d = dict(d)
+        scorer = d.pop("scorer", None)
+        if isinstance(scorer, dict):
+            d["scorer"] = Scorer(**scorer)
+        elif scorer is not None:
+            d["scorer"] = scorer
+        return cls(**d)
+
 
 DEFAULT_CONFIG = IndexConfig()
 DEFAULT_SCORER = DEFAULT_CONFIG.scorer

@@ -145,7 +145,7 @@ class InvertedIndex:
 
     corpus: DataFrame
     sizes: DataFrame
-    tf: DataFrame  # (term, term_id, doc_id, tf, len, df)
+    tf: DataFrame  # (term_id, doc_id, tf, len, df) — term strings live in the lexicon only
     lexicon: DataFrame  # (term, term_id, df)
     postings: DataFrame  # (term_id, df, postings array<struct<doc,tf>>)
     n_docs: int
@@ -164,8 +164,19 @@ def build_index(
     corpus: DataFrame,
     cfg: IndexConfig = DEFAULT_CONFIG,
     build_arrays: bool = True,
+    stage_times: dict | None = None,
 ) -> InvertedIndex:
-    """Full logical index build (no compression — see ds2s/blocks.py)."""
+    """Full logical index build (no compression — see ds2s/blocks.py).
+
+    ``stage_times``: optional dict that receives per-stage wall seconds
+    (scaling-diagnosis instrumentation; zero cost when None)."""
+    import time as _time
+
+    def _mark(name: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        if stage_times is not None:
+            stage_times[name] = round(t1 - t0, 3)
+        return t1
     # A small parquet source arrives in O(1) partitions; tokenize/explode
     # would then run serially before the first shuffle.  Spread by doc_id
     # (hash — deterministic placement) up to the session parallelism.
@@ -180,24 +191,46 @@ def build_index(
     # build issues 3 driver jobs (stats, lexicon-agg, tf) instead of 6
     # (each job carries ~3 s fixed latency at 100 M-posting scale).
     aux: list[DataFrame] = []
+    t0 = __import__("time").perf_counter()
     corpus = corpus.persist()
-    sizes = build_sizes(corpus, cfg).persist()
+    # ONE tokenize pass (round-3): build_tf is the only consumer of the
+    # regexp tokenizer; sizes and collection stats derive from its output.
+    # Round 2 tokenized the corpus TWICE (build_sizes + build_tf) — at
+    # 100 M postings each pass is tens of seconds of pure string churn.
+    tf_terms = build_tf(corpus, cfg).persist()
+    # job 1 (inside build_lexicon): materializes corpus + tf_terms + the
+    # vocab agg together — the single tokenize pass happens here
+    lexicon = build_lexicon(tf_terms, aux=aux).persist()
+    t0 = _mark("lexicon", t0)
+    # sizes from the tf table: per-doc len already rides in tf_terms (one
+    # small first() agg + left join for empty docs) — no second regex scan
+    doc_lens = tf_terms.groupBy("doc_id").agg(F.first("len").alias("len"))
+    sizes = (
+        corpus.select("doc_id")
+        .join(doc_lens, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("len", F.lit(0)).cast("int").alias("len")
+        )
+        .persist()
+    )
     stats = sizes.agg(
         F.count("*").alias("n"), F.sum("len").alias("total")
-    ).collect()[0]  # job 1: materializes corpus + sizes together
+    ).collect()[0]  # job 2: materializes sizes from the caches (fast)
     n_docs = int(stats["n"])
     avg_len = float(stats["total"]) / n_docs if n_docs else 0.0
-    tf_terms = build_tf(corpus, cfg).persist()
-    # job 2 (inside build_lexicon): materializes tf_terms + the vocab agg
-    lexicon = build_lexicon(tf_terms, aux=aux).persist()
+    t0 = _mark("stats", t0)
     # no broadcast hint: the lexicon can be billions of rows for code —
-    # AQE picks broadcast when it is actually small, shuffle join otherwise
+    # AQE picks broadcast when it is actually small, shuffle join otherwise.
+    # The persisted tf drops the term STRING (term_id carries identity):
+    # at 100 M+ rows the string column dominates cache and every
+    # downstream shuffle's bytes for zero information.
     tf = (
         tf_terms.join(lexicon, "term")
-        .select("term", "term_id", "doc_id", "tf", "len", "df")
+        .select("term_id", "doc_id", "tf", "len", "df")
         .persist()
     )
     tf.count()  # job 3: materializes lexicon + tf together
+    _mark("tf", t0)
     tf_terms.unpersist()
     for df in aux:
         df.unpersist()

@@ -159,7 +159,19 @@ class IndexStore:
             ),
         )
         unit("sizes", plain(idx.sizes, "sizes"))
-        unit("lexicon", plain(idx.lexicon, "lexicon"))
+        # lexicon is written TERM-SORTED (range partition + in-file sort):
+        # serving's `term IN (...)` lookup then prunes whole files via
+        # parquet min/max stats instead of scanning a billions-row code
+        # vocabulary per query batch (round-2 verdict item 4)
+        unit(
+            "lexicon",
+            plain(
+                idx.lexicon.repartitionByRange(
+                    max(idx.lexicon.rdd.getNumPartitions(), 1), "term"
+                ).sortWithinPartitions("term"),
+                "lexicon",
+            ),
+        )
 
         # ONE pass writes every bucket (write.partitionBy): the
         # blocks_from_tf pipeline executes exactly once, not once per
@@ -200,6 +212,29 @@ class IndexStore:
             ),
         )
 
+        # superblock tier (Variable-BMW upper level, round-3): per (term,
+        # superblock of sb_size blocks) range + max + count — metadata-only
+        # scan of the stored blocks; serving grid-prunes this 1/sb_size
+        # table before ever touching per-block metadata of hot terms
+        sb_size = 128
+        unit(
+            "superblocks",
+            plain(
+                spark.read.parquet(str(self.root / "blocks"))
+                .groupBy(
+                    "term_id",
+                    (F.col("block_id") / sb_size).cast("int").alias("sb_id"),
+                )
+                .agg(
+                    F.min("first_doc").alias("first_doc"),
+                    F.max("last_doc").alias("last_doc"),
+                    F.max("block_max_score").alias("sb_max_score"),
+                    F.count("*").alias("n_blocks"),
+                ),
+                "superblocks",
+            ),
+        )
+
         if "_index" not in done:
             stats = {
                 "n_docs": idx.n_docs,
@@ -210,6 +245,7 @@ class IndexStore:
                 # None — record what was actually used
                 "codec": codec or cfg.block_codec,
                 "n_buckets": n_buckets,
+                "sb_size": sb_size,
                 "source": source,
             }
             (self.root / "_index.json").write_text(json.dumps(stats, indent=2))

@@ -53,12 +53,23 @@ def bm25_score_col(scorer: Scorer, n_docs: int, avg_len: float) -> Column:
     return idf * w_d
 
 
+def _with_ids(idx: InvertedIndex, qdf: DataFrame) -> DataFrame:
+    """Resolve query-term strings → term_id via the lexicon (the tiny
+    query side joins the dictionary; the 100 M-row tf table carries only
+    term_id — its term-string column would dominate every shuffle's bytes
+    for zero information).  Unknown terms drop out here (OR ignores them;
+    AND counts its requirement on the RAW qdf, so they still empty the
+    conjunction)."""
+    return qdf.join(idx.lexicon.select("term", "term_id"), "term")
+
+
 def _scored(idx: InvertedIndex, qdf: DataFrame) -> DataFrame:
     """(qid, doc_id, score): per-doc summed BM25 over matched query cursors."""
     scorer = idx.cfg.scorer
     # len rides inside tf (ds2s.invert.build_tf) — no sizes join
     hits = (
-        qdf.join(idx.tf.select("term", "doc_id", "tf", "len", "df"), "term")
+        _with_ids(idx, qdf)
+        .join(idx.tf.select("term_id", "doc_id", "tf", "len", "df"), "term_id")
         .withColumn("contrib", bm25_score_col(scorer, idx.n_docs, idx.avg_len))
     )
     return hits.groupBy("qid", "doc_id").agg(F.sum("contrib").alias("score"))
@@ -91,8 +102,8 @@ def _and_docs(idx: InvertedIndex, qdf: DataFrame) -> DataFrame:
     from the lexicon makes the conjunction empty (SURVEY.md §2.3)."""
     need = qdf.groupBy("qid").agg(F.countDistinct("term").alias("n_need"))
     matched = (
-        qdf.select("qid", "term").distinct()
-        .join(idx.tf.select("term", "doc_id"), "term")
+        _with_ids(idx, qdf.select("qid", "term").distinct())
+        .join(idx.tf.select("term_id", "doc_id"), "term_id")
         .groupBy("qid", "doc_id")
         .agg(F.count("*").alias("n_have"))
     )
@@ -126,8 +137,8 @@ def or_count(idx: InvertedIndex, qdf: DataFrame) -> DataFrame:
     """(qid, matches) — ds2i or_query semantics (docs with ≥1 term)."""
     qids = qdf.select("qid").distinct()
     counts = (
-        qdf.select("qid", "term").distinct()
-        .join(idx.tf.select("term", "doc_id"), "term")
+        _with_ids(idx, qdf.select("qid", "term").distinct())
+        .join(idx.tf.select("term_id", "doc_id"), "term_id")
         .groupBy("qid")
         .agg(F.countDistinct("doc_id").alias("matches"))
     )

@@ -14,7 +14,7 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_partitions = shuffle_partitions or max(int(str(cores)) if str(cores).isdigit() else 32, 8)
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -24,14 +24,21 @@ def get_spark(
         # under the tokenizer's short-string churn (measured 20-290 s for an
         # identical 22 M-posting build; 16g is stable at 9-10 s, zero full GCs)
         .config("spark.driver.memory", os.environ.get("DS2S_DRIVER_MEM", "16g"))
-        # shuffle spill on tmpfs: the sandbox's /dev/vda is a slow virtual
-        # disk — 32-core runs saturate it (load-avg 15 at 97% CPU-idle,
-        # pure iowait) and identical builds swing 2-5×.  Real clusters put
-        # spark.local.dir on local NVMe; /dev/shm is the sandbox analogue.
-        .config("spark.local.dir", os.environ.get("DS2S_LOCAL_DIR", "/dev/shm/ds2s-spark"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # shuffle spill dir: the sandbox's /dev/vda is a slow virtual disk —
+    # 32-core runs saturate it (load-avg 15 at 97% CPU-idle, pure iowait)
+    # and identical builds swing 2-5×.  Real clusters put spark.local.dir
+    # on local NVMe; /dev/shm is the sandbox analogue.  Only overridden
+    # when DS2S_LOCAL_DIR is set or the sandbox fixture tree is present —
+    # on a real deployment a RAM-backed shuffle dir could exhaust host
+    # memory instead of spilling (round-2 advice).
+    local_dir = os.environ.get("DS2S_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/root/testdata"):
+        local_dir = "/dev/shm/ds2s-spark"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()

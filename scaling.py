@@ -88,8 +88,9 @@ def child(cores: int) -> None:
     # enough that 32 concurrent tasks do not contend on execution memory
     # (measured 43.6 s → 33.3 s for the 25 M-posting block build at 32
     # cores when going 32 → 128 partitions)
+    sp_mult = int(os.environ.get("DS2S_SHUFFLE_MULT", "4"))
     spark = get_spark(app=f"ds2s-scaling-{cores}", cores=cores,
-                      shuffle_partitions=max(cores * 4, 32))
+                      shuffle_partitions=max(cores * sp_mult, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
     def scored_blocks(idx):
@@ -113,26 +114,52 @@ def child(cores: int) -> None:
     )
     n_docs = corpus.count()
 
+    # JVM-side GC + process-CPU counters (py4j MXBeans): per-stage GC share
+    # is the discriminator between "busy but collecting garbage" and
+    # genuinely parallel work — /proc/stat alone cannot tell them apart
+    jvm = spark.sparkContext._jvm
+    mf = jvm.java.lang.management.ManagementFactory
+
+    def jvm_counters():
+        gc_ms = sum(
+            b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans()
+        )
+        cpu_ns = mf.getOperatingSystemMXBean().getProcessCpuTime()
+        return gc_ms, cpu_ns
+
     # timed: the full index build — tokenize → invert → lexicon/sizes →
     # encoded 128-posting block table + block-max metadata (the product
     # an indexer ships; giant per-term arrays are deliberately NOT built)
+    stages: dict[str, float] = {}
+    gc0, cpu0 = jvm_counters()
     t0 = time.perf_counter()
-    idx = build_index(corpus, build_arrays=False)
+    idx = build_index(corpus, build_arrays=False, stage_times=stages)
+    ts = time.perf_counter()
     n_postings = idx.tf.count()
+    stages["tf_count"] = round(time.perf_counter() - ts, 3)
     # single pass: encoded blocks + per-block len payloads + block-max
     # metadata together (the round-1 harness ran blocks_from_tf AND a
     # separate build_block_max postings scan — two passes, now fused)
+    ts = time.perf_counter()
     scored_blocks(idx).write.format("noop").mode("overwrite").save()
+    stages["blocks"] = round(time.perf_counter() - ts, 3)
     build_s = time.perf_counter() - t0
+    gc1, cpu1 = jvm_counters()
+    stages["gc_s"] = round((gc1 - gc0) / 1000.0, 3)
+    stages["jvm_cpu_s"] = round((cpu1 - cpu0) / 1e9, 3)
+    stages["jvm_cpu_per_core"] = round((cpu1 - cpu0) / 1e9 / build_s / cores, 3)
 
-    # rank-identity probes (must be parallelism-invariant) — run on a small
-    # replica count: invariance across cluster sizes is a property of the
-    # deterministic plan, not of the input size
-    probe_idx = build_index(corpus_df(spark, 4).persist(), build_arrays=False)
-    qdf = queries_df(spark)
-    exact = ranked_or_topk(probe_idx, qdf, k=10).orderBy("qid", "rank").collect()
-    sidx = ServingIndex(probe_idx)
-    bmw = sidx.topk(qdf, k=10, algo="bmw").orderBy("qid", "rank").collect()
+    if os.environ.get("DS2S_SCALING_PROBES", "1") == "1":
+        # rank-identity probes (must be parallelism-invariant) — run on a
+        # small replica count: invariance across cluster sizes is a property
+        # of the deterministic plan, not of the input size
+        probe_idx = build_index(corpus_df(spark, 4).persist(), build_arrays=False)
+        qdf = queries_df(spark)
+        exact = ranked_or_topk(probe_idx, qdf, k=10).orderBy("qid", "rank").collect()
+        sidx = ServingIndex(probe_idx)
+        bmw = sidx.topk(qdf, k=10, algo="bmw").orderBy("qid", "rank").collect()
+    else:
+        exact = bmw = []
 
     def digest(rows):
         h = hashlib.sha256()
@@ -147,6 +174,7 @@ def child(cores: int) -> None:
                 "n_docs": n_docs,
                 "n_postings": n_postings,
                 "build_s": round(build_s, 3),
+                "stages": stages,
                 "docs_per_s": round(n_docs / build_s, 1),
                 "postings_per_s": round(n_postings / build_s, 1),
                 "exact_sha": digest(exact),

@@ -278,6 +278,94 @@ def test_pruned_equals_exhaustive_fixture(spark, idx001, sidx001, algo):
     )
 
 
+@pytest.fixture(scope="module")
+def hot_idx(spark):
+    """A synthetic HOT term: 20k docs all containing 'hot', block_size=2 →
+    the hot posting list spans 10^4 blocks (the round-2 verdict's
+    adversarial shape for plan-metadata concentration); 'rare' lives only
+    in docs 0..19."""
+    import dataclasses
+
+    from ds2s.config import DEFAULT_CONFIG
+    from ds2s.invert import build_index
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, block_size=2)
+    rows = [
+        (d, "hot rare pad%d" % (d % 5)) if d < 20 else (d, "hot pad%d" % (d % 5))
+        for d in range(20000)
+    ]
+    corpus = spark.createDataFrame(rows, schema="doc_id long, content string")
+    return build_index(corpus, cfg=cfg, build_arrays=False)
+
+
+def test_superblock_tier_bounds_plan_input(spark, hot_idx):
+    """Round-2 verdict item 3: with a ≥10^4-block hot term, the plan never
+    consumes the term's full block metadata — the superblock tier bounds
+    it to the surviving superblocks' blocks, in BOTH the driver-grid and
+    the fallback plan-kernel tiers, and results stay rank-identical."""
+    sidx = ServingIndex(hot_idx, plan_collect_cap=2000)
+    qdf = Q.queries_df(spark, rows=[(0, 0, "rare"), (0, 1, "hot")])
+    exact = (
+        Q.ranked_or_topk(hot_idx, qdf, k=10)
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+
+    total_blocks = sidx.blocks.join(
+        hot_idx.lexicon.filter(F.col("term").isin("hot", "rare")).select("term_id"),
+        "term_id",
+    ).count()
+    assert total_blocks >= 10_000
+
+    # mid tier: superblock grid prunes, then the driver block grid
+    got = (
+        sidx.topk(qdf, k=10, algo="bmw")
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False, atol=1e-8,
+    )
+    assert sidx.last_plan["tier"] == "superblock"
+    assert sidx.last_plan["kernel_input_bound"] <= 300, sidx.last_plan
+
+    # huge tier: cap below the superblock survivors forces the plan
+    # KERNEL — its input is still bounded by surviving superblocks
+    sidx2 = ServingIndex(hot_idx, blocks=sidx.blocks, plan_collect_cap=50)
+    got2 = (
+        sidx2.topk(qdf, k=10, algo="bmw")
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got2.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False, atol=1e-8,
+    )
+    assert sidx2.last_plan["tier"] == "kernel"
+    assert sidx2.last_plan["kernel_input_bound"] <= 300, sidx2.last_plan
+
+
+def test_seed_cap_preserves_exactness(spark, idx001):
+    """θ₀ seeding is top-N-capped relationally (only the cap's payload
+    rows leave the block scan); any cap — even 2 — only weakens θ₀, never
+    changes results."""
+    sidx = ServingIndex(idx001, codec="pef", seed_max_blocks=2)
+    qdf = Q.queries_df(spark)
+    exact = (
+        Q.ranked_or_topk(idx001, qdf, k=DEFAULT_K)
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    got = (
+        sidx.topk(qdf, k=DEFAULT_K, algo="bmw")
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False, atol=1e-8,
+    )
+
+
 @pytest.mark.parametrize(
     "algo,codec",
     [("bmw", "optpfd"), ("maxscore", "gvb"), ("bmw", "auto"), ("wand", "optpfd")],

@@ -12,8 +12,8 @@ from ds2s.manifest import IndexStore
 
 N_BUCKETS = 4
 # corpus_manifest, sizes, lexicon, blocks buckets (one physical write),
-# wand_max, _index
-TOTAL_UNITS = 3 + N_BUCKETS + 1 + 1
+# wand_max, superblocks, _index
+TOTAL_UNITS = 3 + N_BUCKETS + 2 + 1
 
 
 def test_checkpoint_resume_roundtrip(tmp_path, spark, synth_idx):
@@ -105,6 +105,60 @@ def test_serve_from_store(tmp_path, spark, synth_idx):
     )
 
 
+def test_from_store_uses_buildtime_config(tmp_path, spark, synth_idx):
+    """ADVICE round-2: serving a store built with a non-default scorer
+    must score with THAT scorer (from _index.json), or block-max pruning
+    bounds silently desync from kernel scores."""
+    import dataclasses
+
+    from ds2s import query as Q
+    from ds2s.config import Scorer
+    from ds2s.invert import InvertedIndex
+    from ds2s.serve import ServingIndex
+
+    cfg2 = dataclasses.replace(
+        synth_idx.cfg, scorer=Scorer(k1=0.9, b=0.4)
+    )
+    idx2 = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg2})
+    store = IndexStore(str(tmp_path / "k09"))
+    store.write_checkpointed(idx2, source="synth", n_buckets=2)
+
+    sidx = ServingIndex.from_store(spark, store)
+    assert sidx.cfg.scorer.k1 == 0.9 and sidx.cfg.scorer.b == 0.4
+
+    qdf = Q.queries_df(
+        spark, rows=[(0, 0, "def"), (0, 1, "return"), (1, 0, "class")]
+    )
+    exact = (
+        Q.ranked_or_topk(idx2, qdf, k=5)
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    got = (
+        sidx.topk(qdf, k=5, algo="bmw")
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False, atol=1e-8,
+    )
+
+
+def test_store_lexicon_filter_pushdown(tmp_path, spark, synth_idx):
+    """The stored lexicon is term-sorted; a `term IN (...)` lookup must
+    reach the parquet scan as a pushed filter (file-level min/max pruning
+    at a billions-row code vocabulary — round-2 verdict item 5)."""
+    from pyspark.sql import functions as F
+
+    store = IndexStore(str(tmp_path / "lex"))
+    store.write_checkpointed(synth_idx, source="synth", n_buckets=2)
+    lex = store.load_table(spark, "lexicon").filter(
+        F.col("term").isin("def", "return")
+    )
+    plan = lex._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan, plan
+
+
 def test_cli_build_and_query(tmp_path, spark):
     """End-to-end CLI: build from a parquet corpus dir, query the stored
     index, resumable second build writes nothing."""
@@ -159,7 +213,7 @@ def test_config_change_invalidates_resume(tmp_path, spark, synth_idx):
     cfg2 = dataclasses.replace(synth_idx.cfg, block_size=32)
     idx2 = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg2})
     rewritten = store.write_checkpointed(idx2, source="synth", n_buckets=2)
-    assert rewritten == 3 + 2 + 1 + 1
+    assert rewritten == 3 + 2 + 2 + 1
     # and the stored blocks really are 32-posting blocks now
     assert store.load_blocks(spark).agg({"n": "max"}).collect()[0][0] <= 32
 
