@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_bruteforce_topk": lambda spark, sf: ann.bruteforce_topk(_embs(spark, sf)),
         "ann_lsh_topk": lambda spark, sf: ann.lsh_topk(_embs(spark, sf)),
+        # approximate (recall property-tested vs the brute-force oracle;
+        # rows-only driver check, like ann_lsh_topk)
+        "ann_ivf_topk": lambda spark, sf: ann.ivf_topk(_embs(spark, sf)),
         "byte_histogram": lambda spark, sf: multimodal.byte_histogram(
             multimodal.media_table(_docs(spark, sf))
         ),

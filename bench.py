@@ -127,6 +127,33 @@ def main() -> None:
         E._embs(spark, sf_dir), n_planes=7, n_tables=8, n_probes=12
     )
 
+    def ivf_recall(embs, n_centroids=None, nprobe=None):
+        """(recall@10, candidate fraction) for the IVF path — the
+        distribution-independent scale path (candidates ≈ nprobe/cells)."""
+        n = embs.count()
+        q = ann.default_queries(embs)
+        n_q = q.count()
+        n_centroids = n_centroids or max(4, int(np.ceil(np.sqrt(n))))
+        nprobe = nprobe or max(1, -(-n_centroids // 8))
+        truth = {
+            (r["qid"], r["vec_id"]) for r in ann.bruteforce_topk(embs, q).collect()
+        }
+        cents = ann.ivf_fit_centroids(embs, n_centroids)
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ann.ivf_topk(
+                embs, q, n_centroids=n_centroids, nprobe=nprobe
+            ).collect()
+        }
+        n_cand = ann.ivf_candidates(embs, q, cents, nprobe).count()
+        return (
+            round(len(truth & got) / max(len(truth), 1), 4),
+            round(n_cand / max(n * n_q, 1), 4),
+        )
+
+    ivf_recall_clustered, ivf_cand_clustered = ivf_recall(clustered)
+    ivf_recall_uniform, ivf_cand_uniform = ivf_recall(E._embs(spark, sf_dir))
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -139,6 +166,10 @@ def main() -> None:
                 "ann_cand_frac_clustered": ann_cand,
                 "ann_recall_at10_uniform": ann_recall_uniform,
                 "ann_cand_frac_uniform": ann_cand_uniform,
+                "ivf_recall_at10_clustered": ivf_recall_clustered,
+                "ivf_cand_frac_clustered": ivf_cand_clustered,
+                "ivf_recall_at10_uniform": ivf_recall_uniform,
+                "ivf_cand_frac_uniform": ivf_cand_uniform,
                 "queries": timings,
                 "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

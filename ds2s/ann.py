@@ -19,11 +19,22 @@ Training-data pipeline operator (see ds2s.textops docstring for scope).
   large or the space is clustered (real embedding spaces are; see
   tests/test_ann_recall.py, recall ≥ 0.9 at ≤ 5% candidates).
 
+- ``ivf_topk``: inverted-file ANN — deterministic spherical k-means
+  coarse quantizer trained on a bounded md5-ordered sample, one narrow
+  assignment pass over the collection, per-query probing of the
+  ``nprobe`` nearest cells, exact rerank inside.  The candidate fraction
+  is ``≈ nprobe/n_centroids`` regardless of data distribution — unlike
+  hyperplane LSH its cost does not degrade on unstructured (uniform)
+  spaces, which is why it is the scale path of record for the
+  structureless fixture (measured in bench.py on both fixtures).
+
 Scale: brute force shuffles nothing (queries broadcast, one pass over the
 collection, TakeOrderedAndProject per query); LSH adds one narrow signature
 projection and joins on (bucket) — at 10^9 vectors the bucket join replaces
 the full scan per query, and multiple probe tables (``n_tables``) trade
-recall for cost.
+recall for cost.  IVF adds one narrow assignment pass (centroids ride in
+the closure) and a per-cell bucket join; quantizer training is a bounded
+driver-side numpy job on a sample, never a distributed iteration.
 """
 
 from __future__ import annotations
@@ -223,6 +234,15 @@ def lsh_topk(
     cand = lsh_candidates(
         embeddings, queries, n_planes, n_tables, multiprobe, n_probes
     )
+    return _exact_rerank(embeddings, queries, cand, k)
+
+
+def _exact_rerank(
+    embeddings: DataFrame, queries: DataFrame, cand: DataFrame, k: int
+) -> DataFrame:
+    """(qid, vec_id) candidate pairs → exact cosine top-k per qid, the
+    same JVM-side dot product and (cosine DESC, vec_id ASC) tie rule as
+    the brute-force oracle."""
     base = _as_double(embeddings)
     q = _as_double(queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
@@ -241,3 +261,140 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_fit(X: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means: farthest-point (maxmin) seeding —
+    no RNG anywhere, so the quantizer is identical across runs and
+    cluster sizes — then Lloyd iterations on the unit sphere.  Runs on a
+    BOUNDED sample in the driver (the standard IVF recipe: train the
+    coarse quantizer on a sample, assign the full collection in one
+    distributed pass)."""
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X / np.where(norms == 0.0, 1.0, norms)[:, None]
+    k = min(k, len(Xn))
+    # maxmin seeding: start from the lexicographically-first max-norm row
+    first = int(np.argmax(norms))
+    idxs = [first]
+    best_sim = Xn @ Xn[first]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        idxs.append(nxt)
+        best_sim = np.maximum(best_sim, Xn @ Xn[nxt])
+    C = Xn[idxs].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members) == 0:
+                # deterministic re-seed: the point farthest from its centroid
+                sims = (Xn * C[assign]).sum(axis=1)
+                C[c] = Xn[int(np.argmin(sims))]
+                continue
+            m = members.sum(axis=0)
+            n = np.linalg.norm(m)
+            C[c] = m / (n if n > 0 else 1.0)
+    return C
+
+
+def ivf_fit_centroids(
+    embeddings: DataFrame, n_centroids: int,
+    sample_cap: int = 65536, iters: int = 8,
+) -> np.ndarray:
+    """Train the coarse quantizer on a deterministic md5-ordered sample
+    (bounded driver memory at any collection size)."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(int(sample_cap))
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return _kmeans_fit(X, n_centroids, iters)
+
+
+def ivf_assignments(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cluster): one narrow distributed pass — centroids ship in
+    the UDF closure (k×d floats, small), assignment is a vectorized
+    argmax per Arrow batch.  No shuffle."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = np.linalg.norm(V, axis=1)
+            V = V / np.where(n == 0.0, 1.0, n)[:, None]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cluster": np.argmax(V @ C.T, axis=1).astype(np.int32),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cluster int"
+    )
+
+
+def ivf_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, vec_id) candidates: vectors assigned to any of the query's
+    ``nprobe`` nearest centroids.  The query side is a bounded batch —
+    its probe list is computed in the driver and re-enters the plan as a
+    broadcast literal; the collection-side assignment table is only
+    joined, never moved."""
+    spark = embeddings.sparkSession
+    if assignments is None:
+        assignments = ivf_assignments(embeddings, centroids)
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    probe_rows = []
+    for r in queries.select("vec_id", "embedding").collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        v = v / (nv if nv > 0 else 1.0)
+        order = np.argsort(-(C @ v), kind="stable")[: int(nprobe)]
+        for c in order:
+            probe_rows.append((int(r["vec_id"]), int(c)))
+    probes = spark.createDataFrame(probe_rows, schema="qid long, cluster int")
+    return (
+        assignments.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    sample_cap: int = 65536,
+    iters: int = 8,
+) -> DataFrame:
+    """(qid, rank, vec_id, cosine) approximate top-k via an IVF coarse
+    quantizer (the classic inverted-file ANN layout): deterministic
+    spherical k-means on a bounded sample, one narrow assignment pass,
+    probe the ``nprobe`` nearest cells per query, exact rerank inside.
+
+    Defaults: ``n_centroids = ⌈√n⌉`` (balanced cell size √n),
+    ``nprobe = ⌈n_centroids/8⌉`` (≈12% of cells ≈12% of candidates on
+    balanced data).  Candidate volume scales as ``nprobe/n_centroids``
+    of the collection — tune the ratio, not the absolutes, as n grows."""
+    queries = queries if queries is not None else default_queries(embeddings)
+    if n_centroids is None or nprobe is None:
+        n = embeddings.count()
+        n_centroids = n_centroids or max(4, int(np.ceil(np.sqrt(n))))
+        nprobe = nprobe or max(1, -(-n_centroids // 8))
+    centroids = ivf_fit_centroids(embeddings, n_centroids, sample_cap, iters)
+    cand = ivf_candidates(embeddings, queries, centroids, nprobe)
+    return _exact_rerank(embeddings, queries, cand, k)

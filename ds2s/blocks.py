@@ -122,6 +122,7 @@ def blocks_from_tf(
     block_size: int | None = None,
     n_salt: int | None = None,
     avg_len: float | None = None,
+    _stop_at: str | None = None,
 ) -> DataFrame:
     """Flat postings (term_id, doc_id, tf) → encoded block rows WITHOUT the
     monolithic per-term array intermediate.
@@ -134,13 +135,15 @@ def blocks_from_tf(
 
     1. range-salt doc space into ``n_salt`` disjoint strides — positions
        are computable per (term, salt) locally;
-    2. per-(term, salt) posting counts → prefix offsets via a windowed
-       cumulative sum (≤ n_salt rows per term — skew-free) joined back on
-       the same (term, salt) keys the big shuffle already uses, so the
-       exchange is shared; nothing vocabulary-sized touches the driver;
-    3. ONE shuffle of the posting table: groupBy (term, salt) →
-       applyInPandas sorts the run in numpy and splits it into
-       128-position-ALIGNED fragments (global pos = offset + local rank);
+    2. ONE shuffle of the posting table, hash-partitioned by (term, salt)
+       and UNSORTED — the split kernel buffers its partition and sorts
+       with one numpy lexsort (the JVM row-comparator sort of the full
+       posting table was the single largest CPU sink at high parallelism),
+       then cuts each complete run into ≤block_size fragments;
+    3. global fragment positions and per-term df via window sums over the
+       ~128×-smaller FRAGMENT table (salts are ascending disjoint docID
+       ranges, so (salt, local_start) order ≡ docID order) — no second
+       pass over the postings, nothing vocabulary-sized on the driver;
     4. fragments (≈ one per block; more only where a block straddles a
        salt boundary) repartition by (term, block) — bounded rows,
        skew-free — and stream through a partition-wise merge+encode
@@ -171,7 +174,11 @@ def blocks_from_tf(
     # a df column the salt applies to hot terms only (same conditional as
     # build_postings); without one (oracle-surface callers) salting stays
     # unconditional — outputs are identical either way (tested).
-    cols = ["term_id", "doc_id", "tf"] + (["len", "df"] if scored else [])
+    # The shuffle carries (term_id, doc_id, tf [, len], salt) and NOTHING
+    # else: df is NOT shipped per posting (4 B × n_postings of pure
+    # redundancy) — it is recovered later as a window sum over the ~128×
+    # smaller fragment table (df ≡ the term's total posting count).
+    cols = ["term_id", "doc_id", "tf"] + (["len"] if scored else [])
     range_salt = (F.col("doc_id") / stride).cast("int")
     salt_col = (
         F.when(F.col("df") > cfg.hot_term_df, range_salt).otherwise(F.lit(0))
@@ -179,11 +186,14 @@ def blocks_from_tf(
     )
     salted = tf.select(*cols, salt_col.alias("salt"))
 
-    # ONE shuffle of the posting table, then a partition-wise split kernel
-    # (per-(term, salt) pandas groups cost 9.6 s for a TRIVIAL kernel over
-    # 112k groups of a 6.3 M-posting probe; the shuffle sorts (term, salt,
-    # doc) in the JVM and the kernel streams Arrow batches, carrying the
-    # open run across batch boundaries — same idiom as merge_iter).
+    # ONE shuffle of the posting table, UNSORTED: hash partitioning by
+    # (term, salt) already co-locates every run, and the split kernel
+    # sorts its partition with one numpy lexsort instead of the JVM's
+    # row-comparator sort.  Round-3 thread profile (3.84 M docs, 100.8 M
+    # postings, local[32]): JVM executor threads burned 2.9× the CPU-s of
+    # the 8-core run for IDENTICAL work — almost all of it in the
+    # UnsafeExternalSorter's tie-heavy (term, salt) comparator chains —
+    # while np.lexsort of a 780 k-row partition is a vectorized ~60 ms.
     #
     # Fragments carry their payloads as FLAT BINARY blobs (little-endian
     # int64 docs / int32 tfs+lens via numpy tobytes/frombuffer): array<long>
@@ -195,112 +205,108 @@ def blocks_from_tf(
         sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except ValueError:  # 'auto' on AQE auto-partitioning platforms
         sp = spark.sparkContext.defaultParallelism
-    sorted_salted = salted.repartition(sp, "term_id", "salt").sortWithinPartitions(
-        "term_id", "salt", "doc_id"
-    )
+    shuffled = salted.repartition(sp, "term_id", "salt")
 
     frag_schema = (
         "term_id int, salt int, local_start long, "
         "docs_bin binary, tfs_bin binary"
     )
     if scored:
-        frag_schema += ", lens_bin binary, df long"
+        frag_schema += ", lens_bin binary"
 
     def split_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend_key = None
-        pend_df = 0
-        pend: list[tuple] = []  # (docs, tfs, lens) chunks of the open run
+        # Buffer the whole partition (hash-partitioned → every (term,
+        # salt) run arrives complete), ONE vectorized lexsort, then cut
+        # each run into ≤block_size fragments.  A partition is
+        # n_postings / shuffle.partitions rows — the standard
+        # mapPartitions sizing contract (tune spark.sql.shuffle.partitions
+        # so a partition's columns fit one worker, same as any sort).
+        parts = list(batches)
+        if not parts:
+            return
+        t_arr = np.concatenate([p["term_id"].to_numpy() for p in parts])
+        if len(t_arr) == 0:
+            return
+        s_arr = np.concatenate([p["salt"].to_numpy() for p in parts])
+        d_arr = np.concatenate(
+            [p["doc_id"].to_numpy().astype("<i8") for p in parts]
+        )
+        f_arr = np.concatenate(
+            [p["tf"].to_numpy().astype("<i4") for p in parts]
+        )
+        l_arr = (
+            np.concatenate([p["len"].to_numpy().astype("<i4") for p in parts])
+            if scored else None
+        )
+        del parts
+        order = np.lexsort((d_arr, s_arr, t_arr))
+        t_arr, s_arr, d_arr, f_arr = (
+            t_arr[order], s_arr[order], d_arr[order], f_arr[order]
+        )
+        if scored:
+            l_arr = l_arr[order]
+        change = np.flatnonzero(
+            (np.diff(t_arr) != 0) | (np.diff(s_arr) != 0)
+        ) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(t_arr)]))
 
         out_cols = ["term_id", "salt", "local_start", "docs_bin", "tfs_bin"]
         if scored:
-            out_cols += ["lens_bin", "df"]
+            out_cols += ["lens_bin"]
         out: dict[str, list] = {k: [] for k in out_cols}
-
-        def flush():
-            docs = pend[0][0] if len(pend) == 1 else np.concatenate([p[0] for p in pend])
-            tfs = pend[0][1] if len(pend) == 1 else np.concatenate([p[1] for p in pend])
-            lens = (
-                (pend[0][2] if len(pend) == 1 else np.concatenate([p[2] for p in pend]))
-                if scored else None
-            )
-            term_id, salt = pend_key
-            for i in range(0, max(len(docs), 1), bs):
-                d = docs[i : i + bs]
-                if len(d) == 0:
-                    continue
+        for s0, e0 in zip(starts, ends):
+            term_id, salt = int(t_arr[s0]), int(s_arr[s0])
+            for i in range(s0, e0, bs):
+                j = min(i + bs, e0)
                 out["term_id"].append(term_id)
                 out["salt"].append(salt)
-                out["local_start"].append(i)
-                out["docs_bin"].append(d.tobytes())
-                out["tfs_bin"].append(tfs[i : i + bs].tobytes())
+                out["local_start"].append(i - s0)
+                out["docs_bin"].append(d_arr[i:j].tobytes())
+                out["tfs_bin"].append(f_arr[i:j].tobytes())
                 if scored:
-                    out["lens_bin"].append(lens[i : i + bs].tobytes())
-                    out["df"].append(pend_df)
-
-        for pdf in batches:
-            t_arr = pdf["term_id"].to_numpy()
-            s_arr = pdf["salt"].to_numpy()
-            d_arr = pdf["doc_id"].to_numpy().astype("<i8")
-            f_arr = pdf["tf"].to_numpy().astype("<i4")
-            l_arr = pdf["len"].to_numpy().astype("<i4") if scored else None
-            df_arr = pdf["df"].to_numpy() if scored else None
-            # boundaries where (term, salt) changes
-            change = np.flatnonzero(
-                (np.diff(t_arr) != 0) | (np.diff(s_arr) != 0)
-            ) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(t_arr)]))
-            for s0, e0 in zip(starts, ends):
-                key = (int(t_arr[s0]), int(s_arr[s0]))
-                if key != pend_key:
-                    if pend_key is not None:
-                        flush()
-                    pend_key, pend = key, []
-                    pend_df = int(df_arr[s0]) if scored else 0
-                pend.append((
-                    d_arr[s0:e0], f_arr[s0:e0],
-                    l_arr[s0:e0] if scored else None,
-                ))
-            if out["term_id"]:
-                yield pd.DataFrame(out)
-                out = {k: [] for k in out}
-        if pend_key is not None:
-            flush()
+                    out["lens_bin"].append(l_arr[i:j].tobytes())
         if out["term_id"]:
             yield pd.DataFrame(out)
 
-    local_frags = sorted_salted.mapInPandas(split_iter, frag_schema)
+    local_frags = shuffled.mapInPandas(split_iter, frag_schema)
+    if _stop_at == "local_frags":  # diagnostic prefix (lab probes only)
+        return local_frags
 
-    # per-(term, salt) prefix offsets: map-side-combined count agg over the
-    # raw postings (deriving them from the fragment table would re-execute
-    # the whole split stage twice) → windowed cumsum over ≤ n_salt rows per
-    # term → joined against the FRAGMENT rows (≥128× fewer than postings; a
-    # join against the posting table sort-merge-re-sorted it: measured
-    # 10.9 s vs 0.8 s on a 6.3 M-posting probe).  No driver collect.
+    # Global positions + df WITHOUT touching the posting table again: a
+    # fragment's gstart is the summed size of every earlier fragment of
+    # its term (salts are disjoint ascending docID ranges, so (salt,
+    # local_start) order ≡ docID order), and df is the term's total —
+    # two window passes over the ~128×-smaller fragment table sharing one
+    # exchange+sort.  (The previous design re-scanned all postings for a
+    # counts agg and joined it back — one full extra pass.)  Skew bound:
+    # a 10^9-posting term is ~8M fragment rows through one window task —
+    # a running sum over scalars, the same bound the offsets join had.
     from pyspark.sql import Window
 
-    counts = salted.groupBy("term_id", "salt").agg(F.count("*").alias("cnt"))
-    w_off = Window.partitionBy("term_id").orderBy("salt")
-    offsets = counts.select(
-        "term_id", "salt",
-        (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
+    w_run = Window.partitionBy("term_id").orderBy("salt", "local_start")
+    sz_col = F.expr("length(docs_bin) div 8")
+    gfrags = local_frags.withColumn("sz", sz_col.cast("int")).withColumn(
+        "gstart", (F.sum("sz").over(w_run) - F.col("sz")).cast("long")
     )
-    gfrags = local_frags.join(offsets, ["term_id", "salt"]).withColumn(
-        "gstart", F.col("offset") + F.col("local_start")
-    )
+    if scored:
+        w_term = Window.partitionBy("term_id")
+        gfrags = gfrags.withColumn(
+            "df", F.sum("sz").over(w_term).cast("long")
+        )
 
     # re-cut ENTIRELY JVM-side on the flat binaries (byte-offset substring
     # — no per-element work anywhere): a ≤block_size fragment spans at
     # most TWO global blocks; pieces sort by global start position, which
     # equals docID order within a term, so the merge kernel never needs to
     # peek inside the blobs
-    sz = F.expr("length(docs_bin) div 8")
+    if _stop_at == "gfrags":  # diagnostic prefix (lab probes only)
+        return gfrags
     bid0 = F.floor(F.col("gstart") / bs)
-    bid1 = F.floor((F.col("gstart") + sz - 1) / bs)
+    bid1 = F.floor((F.col("gstart") + F.col("sz") - 1) / bs)
     cut = (bid1 * bs - F.col("gstart")).cast("int")
     gf = (
-        gfrags.withColumn("sz", sz.cast("int"))
-        .withColumn("bid0", bid0.cast("int"))
+        gfrags.withColumn("bid0", bid0.cast("int"))
         .withColumn("bid1", bid1.cast("int"))
         .withColumn("cut", cut)
     )
@@ -343,6 +349,8 @@ def blocks_from_tf(
     if scored:
         pcols += [F.col("p.lens_bin").alias("lens_bin"), F.col("p.df").alias("df")]
     frags = gf.select("term_id", F.explode(pieces).alias("p")).select(*pcols)
+    if _stop_at == "frags":  # diagnostic prefix (lab probes only)
+        return frags
 
     # merge + encode partition-wise (NOT one applyInPandas group per block:
     # per-group pandas overhead × n_blocks dwarfs the actual encode).  The

@@ -4,8 +4,10 @@ ds2i consumes a pre-parsed binary collection whose docIDs are dense [0, N)
 and whose posting lists are docID-sorted ([U] ds2i/binary_collection.hpp;
 SURVEY.md §1.1).  Here the corpus is a DataFrame; we own docID assignment
 and it must be deterministic across runs AND across parallelism levels
-(north rule: rank-identity at N and 4N executors), so we never use
-``monotonically_increasing_id`` — IDs derive from a global sort order.
+(north rule: rank-identity at N and 4N executors), so IDs derive from a
+global sort order — never from raw ``monotonically_increasing_id`` (its
+partition-id bits are masked off; only the within-sorted-partition row
+index is used, re-based by exactly-counted offsets).
 
 North-rule input shape (BASELINE.json:15): Iceberg table
 (repo, path, commit, lang, content).  The sandbox has no Iceberg runtime
@@ -18,9 +20,7 @@ content_sha256]).
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,10 +36,18 @@ def with_dense_id(
 
     Scale-safe alternative to a single-partition ``row_number()`` window:
     range-repartition on the sort key, sort within partitions, then add
-    per-partition offsets (the classic two-pass zipWithIndex trick, but
-    staying on the Arrow path).  The result is a pure function of the sort
-    order, so it is identical at any parallelism level — required for
-    rank-identity across cluster sizes (SURVEY.md §7.5).
+    per-partition offsets (the classic two-pass zipWithIndex trick),
+    entirely JVM-side: ``monotonically_increasing_id``'s LOW 33 bits are
+    the row index within the explicitly-sorted partition, and the exact
+    per-partition offsets come from a counts collect — so the id is a
+    pure function of the global sort order (the unstable part of m_i_id,
+    the partition-id upper bits, is masked off and replaced by counted
+    offsets).  Identical at any parallelism level — required for
+    rank-identity across cluster sizes (SURVEY.md §7.5) — and pytest-
+    checked.  (The previous mapInPandas id stage made every dense-id
+    call spin up python workers serialized on the SparkEnv monitor —
+    round-3 thread dumps showed 11% of build executor samples BLOCKED
+    there.)
 
     ``order_cols`` must be a unique key of ``df``.
     """
@@ -60,25 +68,24 @@ def with_dense_id(
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["count"]
-    offsets_b = df.sparkSession.sparkContext.broadcast(offsets)
 
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(list(sorted_df.schema.fields)).add(id_col, "long", False)
-
-    def add_ids(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = offsets_b.value.get(pid, 0)
-        seen = 0
-        for batch in iterator:
-            n = len(batch)
-            batch[id_col] = range(base + seen, base + seen + n)
-            seen += n
-            yield batch
-
-    return sorted_df.mapInPandas(add_ids, schema=out_schema)
+    if not offsets:
+        return sorted_df.withColumn(id_col, F.lit(0).cast("long"))
+    entries: list = []
+    for pid in sorted(offsets):
+        entries += [F.lit(int(pid)), F.lit(int(offsets[pid]))]
+    offmap = F.create_map(*entries)
+    row_in_part = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    return sorted_df.withColumn(
+        id_col,
+        (
+            F.coalesce(
+                F.element_at(offmap, F.spark_partition_id()), F.lit(0)
+            ) + row_in_part
+        ).cast("long"),
+    )
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

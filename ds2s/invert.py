@@ -202,22 +202,19 @@ def build_index(
     # vocab agg together — the single tokenize pass happens here
     lexicon = build_lexicon(tf_terms, aux=aux).persist()
     t0 = _mark("lexicon", t0)
-    # sizes from the tf table: per-doc len already rides in tf_terms (one
-    # small first() agg + left join for empty docs) — no second regex scan
-    doc_lens = tf_terms.groupBy("doc_id").agg(F.first("len").alias("len"))
-    sizes = (
-        corpus.select("doc_id")
-        .join(doc_lens, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("len", F.lit(0)).cast("int").alias("len")
-        )
-        .persist()
-    )
-    stats = sizes.agg(
-        F.count("*").alias("n"), F.sum("len").alias("total")
-    ).collect()[0]  # job 2: materializes sizes from the caches (fast)
-    n_docs = int(stats["n"])
-    avg_len = float(stats["total"]) / n_docs if n_docs else 0.0
+    # collection stats WITHOUT a doc-keyed shuffle: total tokens ≡ Σ tf
+    # (a doc's len is Σ tf over its terms), n_docs from the corpus cache.
+    # Round-3 diag: the previous groupBy(doc_id) over the 100 M-row tf
+    # cache was a full shuffle that ANTI-scaled (46 s @ 8c → 73 s @ 32c);
+    # both aggs here are narrow partial-agg scans of warm caches.
+    n_docs = int(corpus.count())
+    total = tf_terms.agg(F.sum("tf")).collect()[0][0] or 0
+    avg_len = float(total) / n_docs if n_docs else 0.0
+    # sizes stays LAZY (narrow tokenize projection over the cached corpus,
+    # len=0 for empty docs preserved): nothing else in the build consumes
+    # it, so the first actual reader pays one cached-corpus scan and the
+    # persist keeps it warm after
+    sizes = build_sizes(corpus, cfg).persist()
     t0 = _mark("stats", t0)
     # no broadcast hint: the lexicon can be billions of rows for code —
     # AQE picks broadcast when it is actually small, shuffle join otherwise.

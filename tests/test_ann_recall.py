@@ -65,3 +65,76 @@ def test_auto_params_monotone():
     p3, t3 = ann.auto_lsh_params(1_000_000_000)
     assert p1 <= p2 <= p3 and t1 <= t2 <= t3
     assert p1 >= 8 and t1 >= 4
+
+
+@pytest.fixture(scope="module")
+def uniform(spark):
+    rng = np.random.default_rng(7)
+    n, dim = 2000, 64
+    pts = rng.normal(size=(n, dim))
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.persist(), n
+
+
+def test_ivf_recall_uniform_bounded_candidates(spark, uniform):
+    """IVF on the STRUCTURELESS fixture.  A structureless space bounds
+    EVERY bucketing method: the true top-10 cosines (~0.32) are order
+    statistics of random pairs, not planted neighbors, so no partition
+    correlates with them (measured: hyperplane LSH needs >50% candidates
+    for recall 0.85 here; IVF gets ~0.48 at 13%).  The assertions freeze
+    the measured IVF frontier point — candidate volume is
+    ≈ nprobe/n_centroids by construction, distribution-independent."""
+    emb, n = uniform
+    queries = ann.default_queries(emb)
+    n_q = queries.count()
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in ann.bruteforce_topk(emb, queries, k=10).collect()
+    }
+    centroids = ann.ivf_fit_centroids(emb, n_centroids=45)
+    nprobe = 6  # 6/45 ≈ 13% of cells
+    got = {
+        (r["qid"], r["vec_id"])
+        for r in ann.ivf_topk(
+            emb, queries, k=10, n_centroids=45, nprobe=nprobe
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    n_cand = ann.ivf_candidates(emb, queries, centroids, nprobe).count()
+    frac = n_cand / (n * n_q)
+    assert frac <= 0.20, f"candidate volume {frac:.3%}"
+    assert recall >= 0.40, f"recall@10={recall:.3f} at {frac:.3%} candidates"
+
+
+def test_ivf_clustered_recall(spark, clustered):
+    """IVF on the CLUSTERED fixture (the realistic embedding regime):
+    the coarse quantizer recovers the latent clusters, so recall ≥ 0.95
+    at ≤ 6% candidates — comfortably past the recall-0.9/5%-candidates
+    bar the LSH path meets, with a distribution-independent cost bound."""
+    emb, n = clustered
+    queries = ann.default_queries(emb)
+    n_q = queries.count()
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in ann.bruteforce_topk(emb, queries, k=10).collect()
+    }
+    centroids = ann.ivf_fit_centroids(emb, n_centroids=64)
+    got = {
+        (r["qid"], r["vec_id"])
+        for r in ann.ivf_topk(
+            emb, queries, k=10, n_centroids=64, nprobe=3
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    n_cand = ann.ivf_candidates(emb, queries, centroids, 3).count()
+    frac = n_cand / (n * n_q)
+    assert frac <= 0.06, f"candidate volume {frac:.3%}"
+    assert recall >= 0.95, f"recall@10={recall:.3f}"
+
+
+def test_ivf_deterministic_across_runs(spark, uniform):
+    emb, _ = uniform
+    c1 = ann.ivf_fit_centroids(emb, n_centroids=16)
+    c2 = ann.ivf_fit_centroids(emb, n_centroids=16)
+    assert np.array_equal(c1, c2)
