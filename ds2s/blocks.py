@@ -214,31 +214,40 @@ def blocks_from_tf(
     if scored:
         frag_schema += ", lens_bin binary"
 
-    def split_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def split_iter(batches) -> Iterator:
         # Buffer the whole partition (hash-partitioned → every (term,
         # salt) run arrives complete), ONE vectorized lexsort, then cut
         # each run into ≤block_size fragments.  A partition is
         # n_postings / shuffle.partitions rows — the standard
         # mapPartitions sizing contract (tune spark.sql.shuffle.partitions
         # so a partition's columns fit one worker, same as any sort).
-        parts = list(batches)
-        if not parts:
+        #
+        # Arrow-native (mapInArrow): input columns view as numpy with
+        # ZERO copies (primitive, null-free), output RecordBatches are
+        # built directly from numpy/bytes — no pandas Series churn on the
+        # n_postings-row stream (measured: the pandas conversions, not
+        # the kernel math, dominated this stage's python CPU).
+        import pyarrow as pa
+
+        t_p, s_p, d_p, f_p, l_p = [], [], [], [], []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            t_p.append(cols["term_id"].to_numpy(zero_copy_only=True))
+            s_p.append(cols["salt"].to_numpy(zero_copy_only=True))
+            d_p.append(cols["doc_id"].to_numpy(zero_copy_only=True))
+            f_p.append(cols["tf"].to_numpy(zero_copy_only=True))
+            if scored:
+                l_p.append(cols["len"].to_numpy(zero_copy_only=True))
+        if not t_p:
             return
-        t_arr = np.concatenate([p["term_id"].to_numpy() for p in parts])
-        if len(t_arr) == 0:
-            return
-        s_arr = np.concatenate([p["salt"].to_numpy() for p in parts])
-        d_arr = np.concatenate(
-            [p["doc_id"].to_numpy().astype("<i8") for p in parts]
-        )
-        f_arr = np.concatenate(
-            [p["tf"].to_numpy().astype("<i4") for p in parts]
-        )
-        l_arr = (
-            np.concatenate([p["len"].to_numpy().astype("<i4") for p in parts])
-            if scored else None
-        )
-        del parts
+        t_arr = np.concatenate(t_p)
+        s_arr = np.concatenate(s_p)
+        d_arr = np.concatenate(d_p).astype("<i8", copy=False)
+        f_arr = np.concatenate(f_p).astype("<i4")
+        l_arr = np.concatenate(l_p).astype("<i4") if scored else None
+        del t_p, s_p, d_p, f_p, l_p
         order = np.lexsort((d_arr, s_arr, t_arr))
         t_arr, s_arr, d_arr, f_arr = (
             t_arr[order], s_arr[order], d_arr[order], f_arr[order]
@@ -251,25 +260,35 @@ def blocks_from_tf(
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(t_arr)]))
 
-        out_cols = ["term_id", "salt", "local_start", "docs_bin", "tfs_bin"]
-        if scored:
-            out_cols += ["lens_bin"]
-        out: dict[str, list] = {k: [] for k in out_cols}
+        o_t, o_s, o_ls = [], [], []
+        o_db, o_tb, o_lb = [], [], []
         for s0, e0 in zip(starts, ends):
             term_id, salt = int(t_arr[s0]), int(s_arr[s0])
             for i in range(s0, e0, bs):
                 j = min(i + bs, e0)
-                out["term_id"].append(term_id)
-                out["salt"].append(salt)
-                out["local_start"].append(i - s0)
-                out["docs_bin"].append(d_arr[i:j].tobytes())
-                out["tfs_bin"].append(f_arr[i:j].tobytes())
+                o_t.append(term_id)
+                o_s.append(salt)
+                o_ls.append(i - s0)
+                o_db.append(d_arr[i:j].tobytes())
+                o_tb.append(f_arr[i:j].tobytes())
                 if scored:
-                    out["lens_bin"].append(l_arr[i:j].tobytes())
-        if out["term_id"]:
-            yield pd.DataFrame(out)
+                    o_lb.append(l_arr[i:j].tobytes())
+        if not o_t:
+            return
+        arrays = [
+            pa.array(np.asarray(o_t, dtype=np.int32)),
+            pa.array(np.asarray(o_s, dtype=np.int32)),
+            pa.array(np.asarray(o_ls, dtype=np.int64)),
+            pa.array(o_db, type=pa.binary()),
+            pa.array(o_tb, type=pa.binary()),
+        ]
+        names = ["term_id", "salt", "local_start", "docs_bin", "tfs_bin"]
+        if scored:
+            arrays.append(pa.array(o_lb, type=pa.binary()))
+            names.append("lens_bin")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    local_frags = shuffled.mapInPandas(split_iter, frag_schema)
+    local_frags = shuffled.mapInArrow(split_iter, frag_schema)
     if _stop_at == "local_frags":  # diagnostic prefix (lab probes only)
         return local_frags
 
@@ -371,13 +390,38 @@ def blocks_from_tf(
     n_f = float(universe)
     avg = float(avg_len) if avg_len else 1.0
 
-    def merge_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def merge_iter(batches) -> Iterator:
+        # Arrow-native like split_iter: numeric columns view as numpy,
+        # binary payloads come out as bytes via to_pylist (one copy, the
+        # same copy pandas would make), output RecordBatches are built
+        # directly — no pandas round trip.
+        import pyarrow as pa
+
         pend_key = None
         pend_df = 0
         pend_d: list[np.ndarray] = []
         pend_t: list[np.ndarray] = []
         pend_l: list[np.ndarray] = []
         out: dict[str, list] = {k: [] for k in out_cols}
+
+        def emit_batch():
+            arrays = [
+                pa.array(np.asarray(out["term_id"], dtype=np.int32)),
+                pa.array(np.asarray(out["block_id"], dtype=np.int32)),
+                pa.array(np.asarray(out["n"], dtype=np.int32)),
+                pa.array(np.asarray(out["first_doc"], dtype=np.int64)),
+                pa.array(np.asarray(out["last_doc"], dtype=np.int64)),
+                pa.array(out["doc_bytes"], type=pa.binary()),
+                pa.array(out["tf_bytes"], type=pa.binary()),
+            ]
+            if scored:
+                arrays += [
+                    pa.array(out["len_bytes"], type=pa.binary()),
+                    pa.array(
+                        np.asarray(out["block_max_score"], dtype=np.float64)
+                    ),
+                ]
+            return pa.RecordBatch.from_arrays(arrays, names=out_cols)
 
         def flush():
             d = pend_d[0] if len(pend_d) == 1 else np.concatenate(pend_d)
@@ -409,33 +453,39 @@ def blocks_from_tf(
                 )
                 out["block_max_score"].append(float(contrib.max()))
 
-        for pdf in batches:
-            lens_col = pdf["lens_bin"] if scored else pdf["tfs_bin"]
-            df_col = pdf["df"] if scored else pdf["term_id"]
-            for term_id, block_id, docs, tfs, lens, dfv in zip(
-                pdf["term_id"], pdf["block_id"], pdf["docs_bin"], pdf["tfs_bin"],
-                lens_col, df_col,
-            ):
-                key = (int(term_id), int(block_id))
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            t_arr = cols["term_id"].to_numpy(zero_copy_only=True)
+            b_arr = cols["block_id"].to_numpy(zero_copy_only=True)
+            docs_l = cols["docs_bin"].to_pylist()
+            tfs_l = cols["tfs_bin"].to_pylist()
+            lens_l = cols["lens_bin"].to_pylist() if scored else tfs_l
+            df_arr = (
+                cols["df"].to_numpy(zero_copy_only=True) if scored else t_arr
+            )
+            for i in range(len(t_arr)):
+                key = (int(t_arr[i]), int(b_arr[i]))
                 if key != pend_key:
                     if pend_key is not None:
                         flush()
                     pend_key, pend_d, pend_t, pend_l = key, [], [], []
-                    pend_df = int(dfv)
-                pend_d.append(np.frombuffer(docs, dtype="<i8"))
-                pend_t.append(np.frombuffer(tfs, dtype="<i4"))
+                    pend_df = int(df_arr[i])
+                pend_d.append(np.frombuffer(docs_l[i], dtype="<i8"))
+                pend_t.append(np.frombuffer(tfs_l[i], dtype="<i4"))
                 if scored:
-                    pend_l.append(np.frombuffer(lens, dtype="<i4"))
+                    pend_l.append(np.frombuffer(lens_l[i], dtype="<i4"))
             if out["term_id"]:
-                yield pd.DataFrame(out)
+                yield emit_batch()
                 out = {k: [] for k in out}
         if pend_key is not None:
             flush()
         if out["term_id"]:
-            yield pd.DataFrame(out)
+            yield emit_batch()
 
     schema = BLOCKS_SCHEMA_SCORED if scored else BLOCKS_SCHEMA
-    return sorted_frags.mapInPandas(merge_iter, schema=schema)
+    return sorted_frags.mapInArrow(merge_iter, schema=schema)
 
 
 def decode_blocks_flat(blocks: DataFrame) -> DataFrame:
