@@ -28,6 +28,7 @@ driver collect.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -242,6 +243,22 @@ def blocks_from_tf(
                 l_p.append(cols["len"].to_numpy(zero_copy_only=True))
         if not t_p:
             return
+        # Sizing-contract guard (round-3 advice): this kernel buffers the
+        # whole shuffle partition (~3× transient during the lexsort fancy
+        # indexing).  A skewed hash partition or too-low
+        # spark.sql.shuffle.partitions should fail with an actionable
+        # message, not a worker OOM.  ~24 B/posting buffered → the default
+        # 256 M rows ≈ 6 GB resident / ~18 GB peak per worker; override via
+        # DS2S_SPLIT_MAX_PARTITION_ROWS for bigger workers.
+        n_rows = sum(len(a) for a in t_p)
+        max_rows = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
+        if n_rows > max_rows:
+            raise RuntimeError(
+                f"blocks_from_tf split kernel: shuffle partition holds "
+                f"{n_rows} postings > bound {max_rows}; raise "
+                "spark.sql.shuffle.partitions (partition ≈ n_postings / "
+                "shuffle.partitions) or set DS2S_SPLIT_MAX_PARTITION_ROWS."
+            )
         t_arr = np.concatenate(t_p)
         s_arr = np.concatenate(s_p)
         d_arr = np.concatenate(d_p).astype("<i8", copy=False)

@@ -58,14 +58,33 @@ def with_dense_id(
     sorted_df = sorted_df.persist()
     if aux is not None:
         aux.append(sorted_df)
+    # One agg job collects BOTH the per-partition counts (for offsets) and
+    # max(m_i_id low bits): the low-33-bit row index is an implementation
+    # detail of monotonically_increasing_id, so verify it here — if a Spark
+    # version ever changes the bit layout or the partition contents shift
+    # between this job and the id projection, max+1 != count and we fail
+    # loudly instead of silently corrupting docIDs.
     counts = (
-        sorted_df.groupBy(F.spark_partition_id().alias("_pid"))
-        .count()
+        sorted_df.select(
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id()
+            .bitwiseAND(F.lit((1 << 33) - 1))
+            .alias("_rip"),
+        )
+        .groupBy("_pid")
+        .agg(F.count("*").alias("count"), F.max("_rip").alias("_maxrow"))
         .collect()
     )
     offsets = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
+        if row["_maxrow"] is not None and row["_maxrow"] + 1 != row["count"]:
+            raise RuntimeError(
+                "with_dense_id: monotonically_increasing_id low-bit layout "
+                f"violated in partition {row['_pid']} "
+                f"(max_row={row['_maxrow']}, count={row['count']}) — "
+                "dense docIDs would be corrupt; check Spark version."
+            )
         offsets[row["_pid"]] = acc
         acc += row["count"]
 

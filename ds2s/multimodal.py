@@ -14,6 +14,15 @@ ASCII corpus (codepoints == bytes, verified in FIXTURES.md).
 Scale: narrow per-row transforms; media payloads never hit the driver;
 batch size is bounded by Arrow's maxRecordsPerBatch so a partition of
 large blobs streams through the Python worker.
+
+SIZING INVARIANT (round-3 advice): ds2s.session disables Spark 4's
+per-row BYTE-based Arrow batch sizing (the Int.MaxValue sentinel on
+spark.sql.execution.arrow.maxBytesPerBatch — see session.py for why), so
+batches here are bounded ONLY by maxRecordsPerBatch (default 10k rows).
+The sandbox media payloads are ≤ ~2 KB/row; a production pipeline pushing
+multi-MB blobs through these stages MUST lower
+spark.sql.execution.arrow.maxRecordsPerBatch (e.g. to 64) — 10k × 5 MB
+rows would build a 50 GB batch and trip Arrow's 2 GB buffer limits.
 """
 
 from __future__ import annotations

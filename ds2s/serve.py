@@ -251,17 +251,21 @@ def _wand_topk(per_term, k, theta0, avg, scorer, rank_round):
         i0 = j
         if not len(ud):
             continue
-        # bounded running top-k merge with the frozen tie discipline
+        # bounded running top-k merge with the frozen tie discipline.
+        # Rank (sort+trim) whenever the candidate set has REACHED k —
+        # including exactly k — before reading best_scores[-1]: without
+        # the sort the arrays are in docID order from np.unique and the
+        # last entry is an arbitrary candidate's score, which could
+        # inflate θ above the true k-th best and prune true top-k docs.
         best_docs = np.concatenate((best_docs, ud))
         best_scores = np.concatenate((best_scores, sc))
-        if len(best_docs) > k:
+        if len(best_docs) >= k:
             rs = (
                 round_half_up(best_scores, rank_round)
                 if rank_round is not None else best_scores
             )
             order = np.lexsort((best_docs, -rs))[:k]
             best_docs, best_scores = best_docs[order], best_scores[order]
-        if len(best_docs) >= k:
             theta = max(theta, float(best_scores[-1]) - quantum)
 
     return _rank(best_docs, best_scores, k, rank_round)
@@ -468,10 +472,13 @@ class ServingIndex:
             IndexConfig.from_dict(meta["config"])
             if "config" in meta else DEFAULT_CONFIG
         )
-        try:
+        # Older stores predate the superblock table: derive it from blocks.
+        # Only the MISSING case falls back — a present-but-unreadable table
+        # (I/O error, schema drift) must propagate, not be silently rebuilt.
+        if (store.root / "superblocks").exists():
             superblocks = store.load_table(spark, "superblocks")
-        except Exception:
-            superblocks = None  # older store: derive from blocks
+        else:
+            superblocks = None
         self._init_tables(
             lexicon=store.load_table(spark, "lexicon"),
             n_docs=meta["n_docs"],
