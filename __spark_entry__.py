@@ -27,6 +27,24 @@ from ds2s.serve import ServingIndex  # noqa: E402
 
 _IDX_CACHE: dict[str, InvertedIndex] = {}
 _SIDX_CACHE: dict[str, ServingIndex] = {}
+_STORE_CACHE: dict[str, ServingIndex] = {}
+
+
+def _store_sindex(spark: SparkSession, sf_dir: str) -> ServingIndex:
+    """ServingIndex round-tripped through the persisted IndexStore — the
+    mmap-load analogue ([U] succinct/mapper.hpp map), promoted from
+    pytest-only to a driver-checked query (round-3 verdict item 5)."""
+    import tempfile
+
+    from ds2s.manifest import IndexStore
+
+    key = sf_dir.rstrip("/")
+    if key not in _STORE_CACHE:
+        out = tempfile.mkdtemp(prefix="ds2s_store_")
+        store = IndexStore(out)
+        store.write_checkpointed(_index(spark, key), source=key)
+        _STORE_CACHE[key] = ServingIndex.from_store(spark, store)
+    return _STORE_CACHE[key]
 
 
 def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
@@ -122,6 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": lambda spark, sf: _sindex(spark, sf).topk(
             Q.queries_df(spark), k=DEFAULT_K, algo="wand"
         ),
+        # persistence path: write_checkpointed → from_store → BMW top-k
+        # (must equal the exhaustive oracle, same as bmw_topk)
+        "bmw_topk_store": lambda spark, sf: _store_sindex(spark, sf).topk(
+            Q.queries_df(spark), k=DEFAULT_K, algo="bmw"
+        ),
         "index_size_report": lambda spark, sf: index_size_report(
             _sindex(spark, sf).blocks
         ),
@@ -139,6 +162,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": lambda spark, sf: dedup.embedding_near_dup(
             _embs(spark, sf), threshold=0.5
         ),
+        # bucketed near-dup — the 100 TB path (IVF candidates → exact
+        # cosine ≥ threshold); output ⊆ the quadratic oracle by
+        # construction, recall < 1 by design → rows-only driver check,
+        # recall property-tested in tests/test_dedup_groups.py
+        "embedding_near_dup_ann": lambda spark, sf: dedup.embedding_near_dup_ann(
+            _embs(spark, sf), threshold=0.5, method="ivf"
+        ),
+        # connected-component resolution of dup pairs (LSH ∪ exact) —
+        # exact transitive closure, recursive-CTE oracle
+        "dup_groups": lambda spark, sf: dedup.dup_groups(_docs(spark, sf)),
         "ann_bruteforce_topk": lambda spark, sf: ann.bruteforce_topk(_embs(spark, sf)),
         "ann_lsh_topk": lambda spark, sf: ann.lsh_topk(_embs(spark, sf)),
         # approximate (recall property-tested vs the brute-force oracle;
@@ -180,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "bmw_topk": O.sql_ranked_or(DEFAULT_K),
         "maxscore_topk": O.sql_ranked_or(DEFAULT_K),
         "wand_topk": O.sql_ranked_or(DEFAULT_K),
+        # store round-trip must not change a single result
+        "bmw_topk_store": O.sql_ranked_or(DEFAULT_K),
         # index_size_report: codec-dependent byte counts — rows-only check
         "token_count": OT.sql_token_count(),
         "quality_score": OT.sql_quality_score(),
@@ -190,6 +225,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": OT.sql_minhash_lsh_pairs(),
         "simhash64": OT.sql_simhash64(),
         "embedding_near_dup": OT.sql_embedding_near_dup(threshold=0.5),
+        # embedding_near_dup_ann: approximate (subset-of-oracle +
+        # recall property-tested) — rows-only
+        "dup_groups": OT.sql_dup_groups(),
         "ann_bruteforce_topk": OT.sql_ann_bruteforce_topk(),
         # ann_lsh_topk: approximate (recall property-tested) — rows-only
         "byte_histogram": OT.sql_byte_histogram(),

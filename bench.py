@@ -38,11 +38,25 @@ def main() -> None:
     # real regression from an unlucky window (round-2 verdict item 6 —
     # the harness numbers ARE the narrative numbers)
     reps = max(1, int(os.environ.get("DS2S_BENCH_REPS", "2")))
+    # The quadratic embedding_near_dup is the small-sf ORACLE for the
+    # bucketed embedding_near_dup_ann (which IS timed below); running the
+    # O(n²) crossJoin at the bench sf measured 19.9 s — 37% of the round-3
+    # total — for an operator no 100 TB pipeline would call (round-3
+    # verdict items 2 + "What's wrong" 2: keep the quadratic form for
+    # verification at small sf only).  The driver still oracle-checks it
+    # at sf0.01.
+    skip = {
+        "embedding_near_dup": (
+            "quadratic oracle baseline — driver-verified at sf0.01; "
+            "the timed scale path is embedding_near_dup_ann"
+        ),
+    }
     runs: list[dict[str, float]] = []
     for rep in range(reps):
         timings: dict[str, float] = {}
         E._IDX_CACHE.clear()
         E._SIDX_CACHE.clear()
+        E._STORE_CACHE.clear()
         spark.catalog.clearCache()
 
         t0 = time.perf_counter()
@@ -64,6 +78,8 @@ def main() -> None:
         timings["sidx_encode"] = round(time.perf_counter() - t0, 3)
 
         for name, fn in E.queries().items():
+            if name in skip:
+                continue
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -154,28 +170,66 @@ def main() -> None:
     ivf_recall_clustered, ivf_cand_clustered = ivf_recall(clustered)
     ivf_recall_uniform, ivf_cand_uniform = ivf_recall(E._embs(spark, sf_dir))
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "ds2s_build_plus_queries",
-                "value": total,
-                "unit": "sec",
-                "bench_reps": reps,
-                "ann_recall_at10_clustered": ann_recall,
-                "ann_cand_frac_clustered": ann_cand,
-                "ann_recall_at10_uniform": ann_recall_uniform,
-                "ann_cand_frac_uniform": ann_cand_uniform,
-                "ivf_recall_at10_clustered": ivf_recall_clustered,
-                "ivf_cand_frac_clustered": ivf_cand_clustered,
-                "ivf_recall_at10_uniform": ivf_recall_uniform,
-                "ivf_cand_frac_uniform": ivf_cand_uniform,
-                "queries": timings,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
-            }
+    # BASELINE.md §(c) protocol fields (round-3 verdict item 4):
+    # queries/sec on the frozen 20-query reference set, per pruned
+    # algorithm (best-rep wall of the full batch → qps), and the per-codec
+    # bits/posting scoreboard ds2i prints at build time
+    # ([U] ds2i/create_freq_index.cpp stats_line).
+    from ds2s.blocks import encode_blocks, index_size_report
+    from ds2s.queryset import QUERIES
+
+    n_queries = len(QUERIES)
+    qps = {
+        algo: round(n_queries / timings[key], 2)
+        for algo, key in (
+            ("bmw", "bmw_topk"),
+            ("maxscore", "maxscore_topk"),
+            ("wand", "wand_topk"),
+            ("exact_or", "ranked_or_topk"),
         )
+        if timings.get(key)
+    }
+    idx = E._index(spark, sf_dir)
+    codec_bits = {}
+    for codec in ("ef", "uniform_pef", "pef", "optpfd", "gvb", "interp", "auto"):
+        r = index_size_report(
+            encode_blocks(idx.postings, idx.n_docs, codec=codec)
+        ).collect()[0]
+        codec_bits[codec] = {
+            "bits_per_doc": r["bits_per_doc"],
+            "bits_per_tf": r["bits_per_tf"],
+        }
+
+    total = round(sum(timings.values()), 3)
+    report = {
+        "metric": "ds2s_build_plus_queries",
+        "value": total,
+        "unit": "sec",
+        "bench_reps": reps,
+        "queries_per_s": qps,
+        "n_ref_queries": n_queries,
+        "codec_bits_per_posting": codec_bits,
+        "skipped": skip,
+        "ann_recall_at10_clustered": ann_recall,
+        "ann_cand_frac_clustered": ann_cand,
+        "ann_recall_at10_uniform": ann_recall_uniform,
+        "ann_cand_frac_uniform": ann_cand_uniform,
+        "ivf_recall_at10_clustered": ivf_recall_clustered,
+        "ivf_cand_frac_clustered": ivf_cand_clustered,
+        "ivf_recall_at10_uniform": ivf_recall_uniform,
+        "ivf_cand_frac_uniform": ivf_cand_uniform,
+        "queries": timings,
+        "spread": spread,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+    }
+    line = json.dumps(report)
+    print(line)
+    # self-contained artifact: the driver's stdout tail-capture truncated
+    # the round-3 line mid-JSON (BENCH_r03 parsed: null) — always also
+    # write the full report to a file next to this script
+    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
+        json.dumps(report, indent=2) + "\n"
     )
     spark.stop()
 

@@ -109,14 +109,21 @@ def lsh_buckets(
     embeddings: DataFrame, n_planes: int = 6, n_tables: int = 4
 ) -> DataFrame:
     """(vec_id, table, bucket) — sign-pattern bucket per hash table,
-    computed in one Arrow-batched matmul per partition."""
-    dim = len(embeddings.select("embedding").first()[0])
-    planes = [_planes(dim, n_planes, t) for t in range(n_tables)]
+    computed in one Arrow-batched matmul per partition.
+
+    Planes are generated INSIDE the kernel from the batch's own
+    dimensionality: ``_planes`` is a pure function of (dim, plane, table),
+    so every executor derives identical planes and no driver job is spent
+    probing dim (the round-3 ``.first()`` probe was one extra job per
+    call)."""
     weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
 
     def sig(batches):
+        planes: list[np.ndarray] | None = None
         for pdf in batches:
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = [_planes(M.shape[1], n_planes, t) for t in range(n_tables)]
             rows = []
             for t, P in enumerate(planes):
                 bits = (M @ P.T) > 0
@@ -191,10 +198,13 @@ def lsh_candidates(
     buckets = lsh_buckets(embeddings, n_planes, n_tables)
     spark = embeddings.sparkSession
 
-    dim = len(embeddings.select("embedding").first()[0])
+    qrows = queries.select("vec_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], schema="qid long, vec_id long")
+    # dim from the already-collected query batch — no extra dim-probe job
+    dim = len(qrows[0]["embedding"])
     planes = [_planes(dim, n_planes, t) for t in range(n_tables)]
     weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
-    qrows = queries.select("vec_id", "embedding").collect()
     probe_rows = []
     for r in qrows:
         v = np.asarray(r["embedding"], dtype=np.float64)
@@ -304,16 +314,35 @@ def _kmeans_fit(X: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
 
 def ivf_fit_centroids(
     embeddings: DataFrame, n_centroids: int,
-    sample_cap: int = 65536, iters: int = 8,
+    sample_cap: int = 65536, iters: int = 8, n_hint: int | None = None,
 ) -> np.ndarray:
     """Train the coarse quantizer on a deterministic md5-ordered sample
-    (bounded driver memory at any collection size)."""
-    rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(int(sample_cap))
-        .collect()
-    )
+    (bounded driver memory at any collection size).
+
+    The sample is the ``sample_cap`` lexicographically-smallest
+    ``md5(vec_id)`` rows.  When the collection size is known
+    (``n_hint``) and large, a narrow md5-PREFIX filter (4× margin) cuts
+    the TakeOrdered input first: the filter keeps exactly the global
+    bottom segment of the md5 order, so the result is identical to the
+    unfiltered TakeOrdered whenever it yields ≥ sample_cap rows — but the
+    driver no longer merges partitions × sample_cap rows at 10⁹ vectors
+    (round-3 advice)."""
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    sel = embeddings.select("vec_id", "embedding")
+    rows = None
+    if n_hint is not None and n_hint > 4 * sample_cap:
+        frac = min(1.0, 4.0 * sample_cap / n_hint)
+        bound = format(max(1, int(frac * 16 ** 8)), "08x")
+        rows = (
+            sel.filter(F.substring(md5_key, 1, 8) < F.lit(bound))
+            .orderBy(md5_key, "vec_id")
+            .limit(int(sample_cap))
+            .collect()
+        )
+        if len(rows) < sample_cap:  # under-delivered — exact global fallback
+            rows = None
+    if rows is None:
+        rows = sel.orderBy(md5_key, "vec_id").limit(int(sample_cap)).collect()
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return _kmeans_fit(X, n_centroids, iters)
 
@@ -336,6 +365,35 @@ def ivf_assignments(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, cluster int"
+    )
+
+
+def ivf_multi_assignments(
+    embeddings: DataFrame, centroids: np.ndarray, top: int
+) -> DataFrame:
+    """(vec_id, cluster, crank) — each vector's ``top`` nearest centroids
+    (crank 1 = primary cell).  Same narrow one-pass shape as
+    ``ivf_assignments``; used for all-pairs near-dup probing, where every
+    vector is a query of its own neighborhood and a pair is a candidate
+    when one side's primary cell is in the other side's probe list."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    top = max(1, min(int(top), len(C)))
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = np.linalg.norm(V, axis=1)
+            V = V / np.where(n == 0.0, 1.0, n)[:, None]
+            order = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, :top]
+            m = order.shape[0]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), top),
+                "cluster": order.reshape(-1).astype(np.int32),
+                "crank": np.tile(np.arange(1, top + 1, dtype=np.int32), m),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cluster int, crank int"
     )
 
 
@@ -391,10 +449,13 @@ def ivf_topk(
     balanced data).  Candidate volume scales as ``nprobe/n_centroids``
     of the collection — tune the ratio, not the absolutes, as n grows."""
     queries = queries if queries is not None else default_queries(embeddings)
+    n = None
     if n_centroids is None or nprobe is None:
         n = embeddings.count()
         n_centroids = n_centroids or max(4, int(np.ceil(np.sqrt(n))))
         nprobe = nprobe or max(1, -(-n_centroids // 8))
-    centroids = ivf_fit_centroids(embeddings, n_centroids, sample_cap, iters)
+    centroids = ivf_fit_centroids(
+        embeddings, n_centroids, sample_cap, iters, n_hint=n
+    )
     cand = ivf_candidates(embeddings, queries, centroids, nprobe)
     return _exact_rerank(embeddings, queries, cand, k)

@@ -26,6 +26,7 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -293,4 +294,215 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
             F.col("b.vec_id").alias("vec_b"),
             "cosine",
         )
+    )
+
+
+def _pair_cosine(embeddings: DataFrame, cand: DataFrame) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs → exact float64 cosine, the same
+    JVM-side dot product + 6-decimal rounding as the quadratic oracle."""
+    v = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup_ann(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "ivf",
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    sample_cap: int = 65536,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) near-dup pairs via BUCKETED candidates —
+    the operator a 100 TB pipeline actually calls (round-3 verdict item 2).
+    The quadratic ``embedding_near_dup`` stays as the small-sf oracle.
+
+    Every vector is a query of its own bucket — no driver collect of the
+    collection, no crossJoin:
+
+    - ``ivf`` (default): deterministic coarse quantizer (bounded-sample
+      k-means); each vector emits its top-``nprobe`` cells (one narrow
+      pass); a pair is a candidate when one side's PRIMARY cell is in the
+      other side's probe list (bucket self-join, ≈ nprobe/n_centroids of
+      the quadratic pair volume on balanced cells, independent of the
+      data distribution).
+    - ``lsh``: hyperplane sign buckets; candidates share a bucket in any
+      table (self-join per (table, bucket)).
+
+    Candidates then get the exact float64 cosine and the ≥ threshold
+    filter — output ⊆ the quadratic oracle's pairs by construction, with
+    recall < 1 by design (property-tested in tests/test_pipeline_ops.py).
+    """
+    from . import ann as A
+
+    if method == "lsh":
+        if n_planes is None or n_tables is None:
+            auto_p, auto_t = A.auto_lsh_params(embeddings.count())
+            n_planes = n_planes or auto_p
+            n_tables = n_tables or auto_t
+        bk = A.lsh_buckets(embeddings, n_planes, n_tables)
+        a = bk.alias("a")
+        b = bk.alias("b")
+        cand = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            )
+            .distinct()
+        )
+    elif method == "ivf":
+        n = None
+        if n_centroids is None or nprobe is None:
+            n = embeddings.count()
+            n_centroids = n_centroids or max(4, int(np.ceil(np.sqrt(n))))
+            nprobe = nprobe or max(2, -(-n_centroids // 8))
+        centroids = A.ivf_fit_centroids(
+            embeddings, n_centroids, sample_cap, n_hint=n
+        )
+        probes = A.ivf_multi_assignments(embeddings, centroids, top=nprobe)
+        primary = probes.filter(F.col("crank") == 1).select("vec_id", "cluster")
+        p = probes.select(F.col("vec_id").alias("pid"), "cluster")
+        q = primary.select(F.col("vec_id").alias("qid"), "cluster")
+        cand = (
+            p.join(q, "cluster")
+            .filter(F.col("pid") != F.col("qid"))
+            .select(
+                F.least("pid", "qid").alias("vec_a"),
+                F.greatest("pid", "qid").alias("vec_b"),
+            )
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (ivf|lsh)")
+    return _pair_cosine(embeddings, cand).filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup group resolution (connected components over dup edges)
+# ---------------------------------------------------------------------------
+
+
+def dup_edges(documents: DataFrame, n_perm: int = N_PERM,
+              n_bands: int = N_BANDS, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_a, doc_b) undirected dup-candidate edges: MinHash-LSH pairs ∪
+    exact-duplicate star edges (each exact dup linked to its group's min
+    doc — covers empty/shingle-less identical docs LSH cannot see)."""
+    lsh = minhash_lsh_pairs(documents, n_perm, n_bands, k)
+    grp = documents.select("doc_id", F.md5("text").alias("h"))
+    first = grp.groupBy("h").agg(F.min("doc_id").alias("doc_a"))
+    exact = (
+        grp.join(first, "h")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    return lsh.union(exact).distinct()
+
+
+def dup_groups(
+    documents: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, group_id, is_keeper) over the TRANSITIVE CLOSURE of the
+    dup edges — the step that turns candidate pairs into actionable dedup
+    groups (round-3 verdict item 3).  group_id = min doc_id of the
+    connected component; is_keeper = 1 for that doc.  Docs in no edge are
+    singletons and are not emitted.
+
+    Algorithm: iterated hash-min label propagation in the hash-to-min
+    style (Rastogi et al. 2013) — each round (a) lowers every node's
+    label to the min over its neighbors' labels (one join + agg on the
+    edge table), (b) ROOT-UPDATES: a label-node learns the min of its
+    followers' new minima (one agg grouped by the old label — without
+    this, a small label entering a chain whose nodes all point at the
+    chain head crawls back ONE node per round, linear in diameter), then
+    (c) pointer-jumps ``lbl ← lbl[lbl]`` (one self-join).  (b)+(c)
+    together make convergence logarithmic in component diameter.  Each
+    round materializes via localCheckpoint, so lineage stays O(1) and
+    the convergence check is one count on the checkpointed frame.  Scale
+    shape: every round is bounded by |E| + |V| shuffle rows — the
+    standard star-contraction family, sub-quadratic at any corpus size."""
+    if edges is None:
+        if documents is None:
+            raise ValueError("pass documents or edges")
+        edges = dup_edges(documents)
+    e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct().persist()
+
+    lbl = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # (a) neighbor min over the fixed edge table
+        nbr_min = (
+            e.join(
+                lbl.select(F.col("node").alias("v"), F.col("lbl").alias("vlbl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nmin"))
+            .select(F.col("u").alias("node"), "nmin")
+        )
+        prop = lbl.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("lbl").alias("old"),
+            F.least("lbl", F.coalesce("nmin", F.col("lbl"))).alias("m"),
+        )
+        # (b) root update: node L ← min of {m(v) : old(v) = L}
+        root = prop.groupBy(F.col("old").alias("node")).agg(
+            F.min("m").alias("rmin")
+        )
+        m2 = prop.join(root, "node", "left").select(
+            "node",
+            "old",
+            F.least("m", F.coalesce("rmin", F.col("m"))).alias("m2"),
+        )
+        # (c) pointer jump: follow the new pointer one hop (labels are
+        # node ids, always present; labels only ever decrease)
+        jmp = m2.select(F.col("node").alias("tgt"), F.col("m2").alias("jlbl"))
+        new = (
+            m2.join(jmp, m2["m2"] == jmp["tgt"], "left")
+            .select("node", "old", F.coalesce("jlbl", F.col("m2")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("lbl") != F.col("old")).count()
+        lbl = new.select("node", "lbl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_groups did not converge in {max_iter} rounds — "
+            "pathological component diameter; raise max_iter"
+        )
+    e.unpersist()
+    return lbl.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("group_id"),
+        (F.col("node") == F.col("lbl")).cast("int").alias("is_keeper"),
     )

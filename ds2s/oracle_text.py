@@ -172,6 +172,53 @@ SELECT doc_id, string_agg(lower(to_hex(nibval)), '' ORDER BY nibble) AS simhash
 FROM nibs GROUP BY doc_id ORDER BY doc_id"""
 
 
+def sql_dup_groups(n_perm: int = N_PERM, n_bands: int = N_BANDS) -> str:
+    """Transitive closure of (MinHash-LSH pairs ∪ exact-dup star edges)
+    via a recursive CTE; group_id = min doc_id of the component —
+    the independent oracle for the engine's iterated hash-min
+    label-propagation (ds2s.dedup.dup_groups)."""
+    rpb = n_perm // n_bands
+    return f"""
+WITH RECURSIVE {_SH_CTES},
+perms AS (SELECT unnest(generate_series(0, {n_perm - 1})) AS perm),
+sig AS (
+  SELECT doc_id, perm,
+         min(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {rpb}) AS INT) AS band,
+         string_agg(minhash, '|' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+lshp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id
+),
+exg AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS first_doc
+  FROM documents
+),
+exe AS (SELECT first_doc AS doc_a, doc_id AS doc_b FROM exg
+        WHERE doc_id != first_doc),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM lshp
+  UNION SELECT doc_b, doc_a FROM lshp
+  UNION SELECT doc_a, doc_b FROM exe
+  UNION SELECT doc_b, doc_a FROM exe
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       least(u, min(v)) AS group_id,
+       CAST(least(u, min(v)) = u AS INT) AS is_keeper
+FROM reach GROUP BY u ORDER BY doc_id"""
+
+
 _VEC_CTES = """
 vv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
