@@ -60,7 +60,11 @@ def cmd_build(args: argparse.Namespace) -> None:
 
     spark = get_spark(app="ds2s-build")
     t0 = time.perf_counter()
-    idx = build_index(_load_corpus(spark, args.corpus), build_arrays=False)
+    # persist_tf=False: in the build→store pipeline the tf join has one
+    # consumer (the encode shuffle) — no second 100 M-row cache pass
+    idx = build_index(
+        _load_corpus(spark, args.corpus), build_arrays=False, persist_tf=False
+    )
     store = IndexStore(args.out)
     written = store.write_checkpointed(
         idx, source=args.corpus, codec=args.codec, n_buckets=args.buckets
@@ -68,7 +72,7 @@ def cmd_build(args: argparse.Namespace) -> None:
     print(json.dumps({
         "n_docs": idx.n_docs,
         "avg_len": round(idx.avg_len, 4),
-        "n_postings": idx.tf.count(),
+        "n_postings": idx.n_postings,
         "units_written": written,
         "units_total": len(store.completed_units()),
         "wall_s": round(time.perf_counter() - t0, 2),

@@ -151,6 +151,7 @@ class InvertedIndex:
     n_docs: int
     avg_len: float
     cfg: IndexConfig
+    n_postings: int = 0  # tf row count, from the stats agg (no extra pass)
 
     def unpersist(self) -> None:
         for df in (self.corpus, self.sizes, self.tf, self.lexicon, self.postings):
@@ -165,11 +166,22 @@ def build_index(
     cfg: IndexConfig = DEFAULT_CONFIG,
     build_arrays: bool = True,
     stage_times: dict | None = None,
+    persist_tf: bool = True,
 ) -> InvertedIndex:
     """Full logical index build (no compression — see ds2s/blocks.py).
 
     ``stage_times``: optional dict that receives per-stage wall seconds
-    (scaling-diagnosis instrumentation; zero cost when None)."""
+    (scaling-diagnosis instrumentation; zero cost when None).
+
+    ``persist_tf=False`` leaves ``idx.tf`` as the LAZY join of the cached
+    ``tf_terms`` with the lexicon.  For a pure build→encode pipeline
+    (CLI build, scaling harness) the join has exactly ONE consumer — the
+    block encode's (term_id, salt) shuffle — so materializing a second
+    100 M-row cache is a full extra memory-write+read pass of the posting
+    table that the map side of that shuffle can absorb instead (the
+    round-3 scaling diag measured this stage ~flat at 13-14 s across
+    8→32 cores: cache (de)serialization, not parallel compute).  Keep the
+    default for serve/test workloads where tf has many consumers."""
     import time as _time
 
     def _mark(name: str, t0: float) -> float:
@@ -208,7 +220,11 @@ def build_index(
     # cache was a full shuffle that ANTI-scaled (46 s @ 8c → 73 s @ 32c);
     # both aggs here are narrow partial-agg scans of warm caches.
     n_docs = int(corpus.count())
-    total = tf_terms.agg(F.sum("tf")).collect()[0][0] or 0
+    stats_row = tf_terms.agg(
+        F.sum("tf").alias("total"), F.count("*").alias("n_postings")
+    ).collect()[0]
+    total = stats_row["total"] or 0
+    n_postings = int(stats_row["n_postings"])
     avg_len = float(total) / n_docs if n_docs else 0.0
     # sizes stays LAZY (narrow tokenize projection over the cached corpus,
     # len=0 for empty docs preserved): nothing else in the build consumes
@@ -221,14 +237,19 @@ def build_index(
     # The persisted tf drops the term STRING (term_id carries identity):
     # at 100 M+ rows the string column dominates cache and every
     # downstream shuffle's bytes for zero information.
-    tf = (
-        tf_terms.join(lexicon, "term")
-        .select("term_id", "doc_id", "tf", "len", "df")
-        .persist()
+    tf = tf_terms.join(lexicon, "term").select(
+        "term_id", "doc_id", "tf", "len", "df"
     )
-    tf.count()  # job 3: materializes lexicon + tf together
-    _mark("tf", t0)
-    tf_terms.unpersist()
+    if persist_tf:
+        tf = tf.persist()
+        tf.count()  # job 3: materializes lexicon + tf together
+        _mark("tf", t0)
+        tf_terms.unpersist()
+    else:
+        # materialize the lexicon (job 3) so the lazy tf join broadcasts a
+        # finished table; tf_terms stays cached as tf's upstream
+        lexicon.count()
+        _mark("tf", t0)
     for df in aux:
         df.unpersist()
     postings = (
@@ -244,4 +265,5 @@ def build_index(
         n_docs=n_docs,
         avg_len=avg_len,
         cfg=cfg,
+        n_postings=n_postings,
     )

@@ -48,6 +48,16 @@ def get_spark(
         # byte cap guards against.
         .config("spark.sql.execution.arrow.maxBytesPerBatch",
                 str(2**31 - 1))
+        # Arrow batch ROW cap for python stages (default 10k).  The build
+        # kernels (split/merge/encode, ds2s.blocks) buffer whole shuffle
+        # partitions anyway, so larger input batches only cut per-batch
+        # overhead (RecordBatch framing, python iterator churn, allocator
+        # traffic).  Rows through those stages are ≤ ~24 B; the widest
+        # Python-stage rows anywhere in the engine are document payloads
+        # (~2 KB) → 65536 rows ≈ 128 MB worst-case batch, far under
+        # Arrow's 2 GB limit (see ds2s/multimodal.py sizing invariant).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("DS2S_ARROW_MAX_RECORDS", "65536"))
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
                 os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "system"))
         .config("spark.ui.enabled", "false")

@@ -102,7 +102,9 @@ def child(cores: int) -> None:
     # untimed warm-up on a small slice: JIT/codegen compilation + python
     # worker spin-up are one-time JVM costs, not per-build costs (ds2i's
     # queries tool likewise times repeated runs, [U] ds2i/queries.cpp)
-    warm = build_index(corpus_df(spark, 16).persist(), build_arrays=False)
+    warm = build_index(
+        corpus_df(spark, 16).persist(), build_arrays=False, persist_tf=False
+    )
     scored_blocks(warm).count()
     warm.unpersist()
 
@@ -155,10 +157,14 @@ def child(cores: int) -> None:
     stages: dict[str, float] = {}
     gc0, cpu0 = jvm_counters()
     t0 = time.perf_counter()
-    idx = build_index(corpus, build_arrays=False, stage_times=stages)
-    ts = time.perf_counter()
-    n_postings = idx.tf.count()
-    stages["tf_count"] = round(time.perf_counter() - ts, 3)
+    # persist_tf=False: the tf join has exactly one consumer here (the
+    # encode shuffle), so the 100 M-row tf cache materialization — the
+    # ~flat 13-14 s round-3 stage — is folded into the blocks stage's map
+    # side instead of being a separate memory-write+read pass
+    idx = build_index(
+        corpus, build_arrays=False, stage_times=stages, persist_tf=False
+    )
+    n_postings = idx.n_postings  # from the stats agg — no extra pass
     # single pass: encoded blocks + per-block len payloads + block-max
     # metadata together (the round-1 harness ran blocks_from_tf AND a
     # separate build_block_max postings scan — two passes, now fused)

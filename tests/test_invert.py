@@ -113,3 +113,28 @@ def test_tokenizer_edge_cases(spark):
     assert rows[1] == []
     assert rows[2] == ["a", "b", "c"]
     assert rows[3] == ["spaces"]
+
+
+def test_persist_tf_false_identical(spark):
+    """The build→encode fast path (persist_tf=False, lazy tf join) is
+    row-for-row identical to the default build — tf table, stats, and
+    encoded blocks."""
+    from ds2s.blocks import blocks_from_tf
+    from ds2s.corpus import synth_corpus
+    from ds2s.invert import build_index
+
+    a = build_index(synth_corpus(spark), build_arrays=False)
+    b = build_index(synth_corpus(spark), build_arrays=False, persist_tf=False)
+    assert (a.n_docs, a.avg_len, a.n_postings) == (b.n_docs, b.avg_len, b.n_postings)
+    assert a.n_postings == a.tf.count() == b.tf.count()
+    cols = ["term_id", "doc_id", "tf", "len", "df"]
+    ra = [tuple(r) for r in a.tf.select(cols).orderBy(cols).collect()]
+    rb = [tuple(r) for r in b.tf.select(cols).orderBy(cols).collect()]
+    assert ra == rb
+    ba = blocks_from_tf(a.tf.select("term_id", "doc_id", "tf"), a.n_docs).select(
+        "term_id", "block_id", "n", "first_doc", "last_doc"
+    ).orderBy("term_id", "block_id").collect()
+    bb = blocks_from_tf(b.tf.select("term_id", "doc_id", "tf"), b.n_docs).select(
+        "term_id", "block_id", "n", "first_doc", "last_doc"
+    ).orderBy("term_id", "block_id").collect()
+    assert [tuple(r) for r in ba] == [tuple(r) for r in bb]
