@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # connected-component resolution of dup pairs (LSH ∪ exact) —
         # exact transitive closure, recursive-CTE oracle
         "dup_groups": lambda spark, sf: dedup.dup_groups(_docs(spark, sf)),
+        # the corpus-shrinking step: singletons + per-group keepers
+        "dedup_filter": lambda spark, sf: dedup.dedup_filter(_docs(spark, sf)),
         "ann_bruteforce_topk": lambda spark, sf: ann.bruteforce_topk(_embs(spark, sf)),
         "ann_lsh_topk": lambda spark, sf: ann.lsh_topk(_embs(spark, sf)),
         # approximate (recall property-tested vs the brute-force oracle;
@@ -228,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         # embedding_near_dup_ann: approximate (subset-of-oracle +
         # recall property-tested) — rows-only
         "dup_groups": OT.sql_dup_groups(),
+        "dedup_filter": OT.sql_dedup_filter(),
         "ann_bruteforce_topk": OT.sql_ann_bruteforce_topk(),
         # ann_lsh_topk: approximate (recall property-tested) — rows-only
         "byte_histogram": OT.sql_byte_histogram(),

@@ -506,3 +506,17 @@ def dup_groups(
         F.col("lbl").alias("group_id"),
         (F.col("node") == F.col("lbl")).cast("int").alias("is_keeper"),
     )
+
+
+def dedup_filter(documents: DataFrame, groups: DataFrame | None = None) -> DataFrame:
+    """(doc_id, content_md5) of the documents that SURVIVE dedup: every
+    singleton plus each dup group's keeper (min doc_id) — the pipeline
+    step that actually shrinks the training corpus.  One left-anti join
+    against the non-keepers; scale shape is dup_groups' plus one
+    hash-join on doc_id."""
+    if groups is None:
+        groups = dup_groups(documents)
+    drop = groups.filter(F.col("is_keeper") == 0).select("doc_id")
+    return documents.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )

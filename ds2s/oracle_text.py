@@ -219,6 +219,21 @@ SELECT u AS doc_id,
 FROM reach GROUP BY u ORDER BY doc_id"""
 
 
+def sql_dedup_filter(n_perm: int = N_PERM, n_bands: int = N_BANDS) -> str:
+    """Documents surviving dedup: all docs minus non-keeper members of
+    the transitive dup closure (see sql_dup_groups)."""
+    closure = sql_dup_groups(n_perm, n_bands)
+    # strip the trailing ORDER BY of the subquery
+    closure = closure.rsplit("ORDER BY", 1)[0]
+    return f"""
+SELECT d.doc_id, md5(d.text) AS content_md5
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({closure}) WHERE is_keeper = 0
+)
+ORDER BY d.doc_id"""
+
+
 _VEC_CTES = """
 vv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

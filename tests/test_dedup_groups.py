@@ -121,3 +121,17 @@ def test_near_dup_ann_subset_and_recall(spark):
     assert set(got_lsh) <= set(oracle)
     recall_lsh = len(got_lsh) / len(oracle)
     assert recall_lsh >= 0.9, f"lsh near-dup recall {recall_lsh:.3f}"
+
+
+def test_dedup_filter_oracle_parity(docs):
+    assert_match(
+        dedup.dedup_filter(docs), duck_run(OT.sql_dedup_filter(), SF), "dedup_filter"
+    )
+
+
+def test_dedup_filter_keeps_keepers_and_singletons(docs):
+    n = docs.count()
+    groups = dedup.dup_groups(docs).collect()
+    non_keepers = sum(1 for r in groups if r["is_keeper"] == 0)
+    kept = dedup.dedup_filter(docs).count()
+    assert kept == n - non_keepers
