@@ -213,6 +213,35 @@ def child(cores: int) -> None:
     spark.stop()
 
 
+def host_probe() -> dict:
+    """Shared-host interference probe: wall of one memory-streaming numpy
+    proc vs 32 concurrent ones.  On a quiet box the 32-proc/1-proc wall
+    ratio is ~1.2-1.5 (measured round 3); under neighbor load it was
+    measured at 13-230× (round 4) — at which point an 8-vs-32-core
+    efficiency number measures the NEIGHBORS, not the code.  The ratio is
+    stamped into the report so the artifact carries its own validity."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def stream_once(_):
+        a = np.random.default_rng(1).random(20_000_000)
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(5):
+            s += float((a * 1.000001).sum())
+        return time.perf_counter() - t0
+
+    t1 = min(stream_once(0) for _ in range(2))
+    with mp.Pool(32) as p:
+        walls = p.map(stream_once, range(32))
+    return {
+        "one_proc_s": round(t1, 3),
+        "par32_max_s": round(max(walls), 3),
+        "ratio": round(max(walls) / t1, 2),
+    }
+
+
 def main() -> None:
     if "--child" in sys.argv:
         child(int(sys.argv[sys.argv.index("--child") + 1]))
@@ -220,10 +249,24 @@ def main() -> None:
     # INTERLEAVED rounds (8, 32, 8, 32, ...), best-of-N per level: the
     # sandbox host has noisy windows (identical fresh-JVM runs measured
     # 2-5× apart); interleaving exposes both parallelism levels to the
-    # same windows instead of letting one level soak an unlucky stretch
+    # same windows instead of letting one level soak an unlucky stretch.
+    # Each repeat is preceded by a host probe; DS2S_SCALING_WAIT_QUIET
+    # (minutes) optionally delays the start until the probe ratio drops
+    # under DS2S_SCALING_QUIET_RATIO (default 3.0).
+    wait_min = float(os.environ.get("DS2S_SCALING_WAIT_QUIET", "0"))
+    quiet_ratio = float(os.environ.get("DS2S_SCALING_QUIET_RATIO", "3.0"))
+    probe = host_probe()
+    deadline = time.time() + wait_min * 60
+    while probe["ratio"] > quiet_ratio and time.time() < deadline:
+        print(json.dumps({"waiting_for_quiet_host": probe}), flush=True)
+        time.sleep(120)
+        probe = host_probe()
     results = {}
+    probes = [probe]
     repeats = int(os.environ.get("DS2S_SCALING_REPEATS", "3"))
-    for _ in range(repeats):
+    for rep in range(repeats):
+        if rep:
+            probes.append(host_probe())
         for cores in (8, 32):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", str(cores)],
@@ -245,6 +288,7 @@ def main() -> None:
             "exact": r8["exact_sha"] == r32["exact_sha"],
             "bmw": r8["bmw_sha"] == r32["bmw_sha"],
         },
+        "host_probe_per_repeat": probes,
         "replicate": REPLICATE,
         "sf_dir": SF_DIR,
     }
