@@ -213,6 +213,18 @@ def child(cores: int) -> None:
     spark.stop()
 
 
+def _stream_once(_arg) -> float:
+    """One memory-streaming work unit (module-level: mp.Pool pickles it)."""
+    import numpy as np
+
+    a = np.random.default_rng(1).random(20_000_000)
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(5):
+        s += float((a * 1.000001).sum())
+    return time.perf_counter() - t0
+
+
 def host_probe() -> dict:
     """Shared-host interference probe: wall of one memory-streaming numpy
     proc vs 32 concurrent ones.  On a quiet box the 32-proc/1-proc wall
@@ -222,19 +234,9 @@ def host_probe() -> dict:
     stamped into the report so the artifact carries its own validity."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def stream_once(_):
-        a = np.random.default_rng(1).random(20_000_000)
-        t0 = time.perf_counter()
-        s = 0.0
-        for _ in range(5):
-            s += float((a * 1.000001).sum())
-        return time.perf_counter() - t0
-
-    t1 = min(stream_once(0) for _ in range(2))
+    t1 = min(_stream_once(0) for _ in range(2))
     with mp.Pool(32) as p:
-        walls = p.map(stream_once, range(32))
+        walls = p.map(_stream_once, range(32))
     return {
         "one_proc_s": round(t1, 3),
         "par32_max_s": round(max(walls), 3),
