@@ -115,6 +115,13 @@ def child(cores: int) -> None:
         corpus_df(spark, REPLICATE).repartition(cores * 4, "doc_id").persist()
     )
     n_docs = corpus.count()
+    # raw-content bytes — for the honest GB/s → TB/h extrapolation the
+    # BASELINE protocol asks for (labeled as an extrapolation: sandbox
+    # input is GB-scale)
+    import pyspark.sql.functions as F
+    content_bytes = int(
+        corpus.agg(F.sum(F.octet_length("content"))).collect()[0][0] or 0
+    )
 
     # JVM-side GC + process-CPU counters (py4j MXBeans): per-stage GC share
     # is the discriminator between "busy but collecting garbage" and
@@ -205,6 +212,13 @@ def child(cores: int) -> None:
                 "stages": stages,
                 "docs_per_s": round(n_docs / build_s, 1),
                 "postings_per_s": round(n_postings / build_s, 1),
+                "content_bytes": content_bytes,
+                "mb_per_s": round(content_bytes / build_s / 1e6, 2),
+                # single-box extrapolation, labeled as such: TB/h if this
+                # throughput held linearly on cluster executors
+                "tb_per_h_extrapolated": round(
+                    content_bytes / build_s * 3600 / 1e12, 4
+                ),
                 "exact_sha": digest(exact),
                 "bmw_sha": digest(bmw),
             }
