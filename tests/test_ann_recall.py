@@ -138,3 +138,17 @@ def test_ivf_deterministic_across_runs(spark, uniform):
     c1 = ann.ivf_fit_centroids(emb, n_centroids=16)
     c2 = ann.ivf_fit_centroids(emb, n_centroids=16)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_sample_prefix_filter_equals_global(spark, uniform):
+    """The md5-PREFIX-filtered training sample (n_hint path, used at
+    ≥4×sample_cap collections) is identical to the global TakeOrdered
+    sample — the filter keeps exactly the bottom segment of the md5
+    order.  Forced here with a tiny sample_cap."""
+    emb, _ = uniform
+    n = emb.count()
+    c_global = ann.ivf_fit_centroids(emb, n_centroids=8, sample_cap=64)
+    c_filtered = ann.ivf_fit_centroids(
+        emb, n_centroids=8, sample_cap=64, n_hint=n
+    )
+    assert np.array_equal(c_global, c_filtered)
