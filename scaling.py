@@ -277,13 +277,19 @@ def main() -> None:
         print(json.dumps({"waiting_for_quiet_host": probe}), flush=True)
         time.sleep(120)
         probe = host_probe()
+    # N and 4N parallelism levels (default 8 vs 32; DS2S_SCALING_LEVELS
+    # e.g. "2,8" measures a 4× step using a quarter of the box — useful
+    # when neighbor interference starves wide runs)
+    lo, hi = (
+        int(x) for x in os.environ.get("DS2S_SCALING_LEVELS", "8,32").split(",")
+    )
     results = {}
     probes = [probe]
     repeats = int(os.environ.get("DS2S_SCALING_REPEATS", "3"))
     for rep in range(repeats):
         if rep:
             probes.append(host_probe())
-        for cores in (8, 32):
+        for cores in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", str(cores)],
                 capture_output=True, text=True, timeout=1800,
@@ -293,10 +299,10 @@ def main() -> None:
             best = results.get(cores)
             if best is None or run["build_s"] < best["build_s"]:
                 results[cores] = run
-    r8, r32 = results[8], results[32]
-    eff = (r8["build_s"] / r32["build_s"]) / (32 / 8)
+    r8, r32 = results[lo], results[hi]
+    eff = (r8["build_s"] / r32["build_s"]) / (hi / lo)
     report = {
-        "metric": "index_build_scaling_efficiency_8_to_32_cores",
+        "metric": f"index_build_scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(eff, 3),
         "unit": "ratio",
         "runs": results,
@@ -309,7 +315,8 @@ def main() -> None:
         "sf_dir": SF_DIR,
     }
     print(json.dumps(report))
-    Path("BENCH_SCALING.json").write_text(json.dumps(report, indent=2) + "\n")
+    out = "BENCH_SCALING.json" if (lo, hi) == (8, 32) else f"BENCH_SCALING_{lo}x{hi}.json"
+    Path(out).write_text(json.dumps(report, indent=2) + "\n")
 
 
 if __name__ == "__main__":
