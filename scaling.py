@@ -310,6 +310,15 @@ def main() -> None:
             "exact": r8["exact_sha"] == r32["exact_sha"],
             "bmw": r8["bmw_sha"] == r32["bmw_sha"],
         },
+        # total CPU-seconds at hi vs lo cores for IDENTICAL work — the
+        # parallel-overhead signal.  1.0 = zero overhead (wall efficiency
+        # then approaches the hardware ceiling on a quiet box); round 3
+        # measured 2.07.  More interference-resistant than wall (neighbor
+        # stalls inflate both numerators when repeats interleave), never
+        # a substitute for the wall-based gate.
+        "cpu_work_ratio_hi_over_lo": round(
+            r32["stages"]["tree_cpu_s"] / max(r8["stages"]["tree_cpu_s"], 1e-9), 3
+        ),
         "host_probe_per_repeat": probes,
         "replicate": REPLICATE,
         "sf_dir": SF_DIR,
