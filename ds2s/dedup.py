@@ -352,7 +352,7 @@ def embedding_near_dup_ann(
 
     Candidates then get the exact float64 cosine and the ≥ threshold
     filter — output ⊆ the quadratic oracle's pairs by construction, with
-    recall < 1 by design (property-tested in tests/test_pipeline_ops.py).
+    recall < 1 by design (property-tested in tests/test_dedup_groups.py).
     """
     from . import ann as A
 
