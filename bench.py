@@ -175,7 +175,7 @@ def main() -> None:
     # algorithm (best-rep wall of the full batch → qps), and the per-codec
     # bits/posting scoreboard ds2i prints at build time
     # ([U] ds2i/create_freq_index.cpp stats_line).
-    from ds2s.blocks import encode_blocks, index_size_report
+    from ds2s.blocks import decode_blocks_flat, encode_blocks, index_size_report
     from ds2s.queryset import QUERIES
 
     n_queries = len(QUERIES)
@@ -201,12 +201,19 @@ def main() -> None:
         ("optpfd", None), ("gvb", None), ("interp", None), ("auto", None),
     ):
         kw = {"block_size": bs} if bs else {}
-        r = index_size_report(
-            encode_blocks(idx.postings, idx.n_docs, codec=codec, **kw)
-        ).collect()[0]
+        blocks = encode_blocks(idx.postings, idx.n_docs, codec=codec, **kw)
+        blocks.persist().count()  # materialize so decode times DECODE only
+        r = index_size_report(blocks).collect()[0]
+        # decode-all throughput (ds2i's --check analogue, parallel across
+        # the local[N] cores — a throughput figure, not per-core speed)
+        t0 = time.perf_counter()
+        decode_blocks_flat(blocks).count()
+        dec_wall = time.perf_counter() - t0
+        blocks.unpersist()
         codec_bits[codec + ("_list" if bs else "_b128")] = {
             "bits_per_doc": r["bits_per_doc"],
             "bits_per_tf": r["bits_per_tf"],
+            "decode_mpostings_s": round(r["n_postings"] / dec_wall / 1e6, 2),
         }
     # ε-opt PEF never loses to fixed-size partitioning on any input; the
     # PEF < plain-EF win needs CLUSTERED docID lists (SIGIR'14 §5) — the
@@ -247,15 +254,27 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
     }
-    line = json.dumps(report)
-    print(line)
-    # self-contained artifact: the driver's stdout tail-capture truncated
-    # the round-3 line mid-JSON (BENCH_r03 parsed: null) — always also
-    # write the full report to a file next to this script
+    # the full report lives in BENCH_LOCAL.json; the stdout line must be
+    # LEAN: the round driver records only the last 2000 chars of stdout
+    # (BENCH_r01/r02 tails were 1183/1487 and parsed; r03's 2.9 KB line was
+    # cut mid-JSON → parsed: null).  Keep the printed line ≤ ~1500 chars
+    # and make it the LAST line.
     Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
         json.dumps(report, indent=2) + "\n"
     )
+    lean = {
+        k: report[k]
+        for k in (
+            "metric", "value", "unit", "host_probe", "bench_reps",
+            "queries_per_s", "n_ref_queries", "ann_recall_at10_clustered",
+            "ivf_recall_at10_clustered", "queries", "sf", "cpus",
+        )
+    }
+    lean["full_report"] = "BENCH_LOCAL.json"
+    line = json.dumps(lean)
+    assert len(line) < 1900, (len(line), "stdout line would be truncated")
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":
