@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .blocks import blocks_from_tf
-from .config import DEFAULT_CONFIG, IndexConfig
+from .config import IndexConfig
 from .corpus import with_sha256
 from .invert import InvertedIndex
 
