@@ -57,6 +57,7 @@ def main() -> None:
         E._IDX_CACHE.clear()
         E._SIDX_CACHE.clear()
         E._STORE_CACHE.clear()
+        E._GROUPS_CACHE.clear()
         spark.catalog.clearCache()
 
         t0 = time.perf_counter()
@@ -215,6 +216,44 @@ def main() -> None:
             "bits_per_tf": r["bits_per_tf"],
             "decode_mpostings_s": round(r["n_postings"] / dec_wall / 1e6, 2),
         }
+    # Single-core kernel encode/decode speed (the figure the PEF paper and
+    # ds2i's perf tests report — per-core decode, no Spark job overhead):
+    # one deterministic CLUSTERED docID list (runs of dense docs separated
+    # by long gaps, the distribution where the codecs differ), encoded at
+    # each codec's native granularity, decode timed driver-side best-of-3.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_k = 262_144  # 256k: big enough for stable rates, keeps the ε-opt
+    # PEF partition DP (~0.03 M postings/s to encode) under ~10 s
+    gaps = np.where(rng.random(n_k) < 0.9, 1, rng.integers(2, 2000, n_k))
+    docs_k = np.cumsum(gaps, dtype=np.uint64)
+    uni_k = int(docs_k[-1]) + 1
+    from ds2s.codecs import decode_docs as _kdec
+    from ds2s.codecs import encode_docs as _kenc
+
+    for codec, bs in (
+        ("ef", n_k), ("uniform_pef", n_k), ("pef", n_k),
+        ("optpfd", 128), ("gvb", 128), ("interp", 128),
+    ):
+        chunks = [docs_k[i:i + bs] for i in range(0, n_k, bs)]
+        t0 = time.perf_counter()
+        bufs = [_kenc(c, uni_k, codec) for c in chunks]
+        enc_wall = time.perf_counter() - t0
+        dec_wall = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for b in bufs:
+                _kdec(b)
+            dec_wall = min(dec_wall, time.perf_counter() - t0)
+        key = codec + ("_list" if bs == n_k else "_b128")
+        codec_bits[key]["kernel_encode_mpostings_s"] = round(
+            n_k / enc_wall / 1e6, 2
+        )
+        codec_bits[key]["kernel_decode_mpostings_s"] = round(
+            n_k / dec_wall / 1e6, 2
+        )
+
     # ε-opt PEF never loses to fixed-size partitioning on any input; the
     # PEF < plain-EF win needs CLUSTERED docID lists (SIGIR'14 §5) — the
     # near-uniform fixture lacks them, so that ordering is pytest-covered
