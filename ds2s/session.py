@@ -23,6 +23,23 @@ def get_spark(
     # not forwarded (verified via /proc/<daemon>/environ) — so this must
     # be an executorEnv conf, set before the JVM spawns.
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    # ... and the system (glibc) pool then serves every >128 KiB request
+    # with a fresh mmap that is munmapped on free: each kernel transient
+    # (partition column concat, lexsort permutation, gather output) is a
+    # mmap + page-fault-on-touch + munmap cycle.  kernel_probe.py measured
+    # the real kernels at 32 procs: 85-252 s SYS / 441-1029 s total CPU
+    # per run with defaults vs 7-35 s SYS / 342-434 s CPU with the heap
+    # told to retain and reuse (mmap threshold 64 MiB, trim 128 MiB,
+    # 2 arenas).  Retained heap per worker is bounded by the trim
+    # threshold (~128 MiB x 32 workers ~= 4 GiB, fine on this box; tune
+    # down via the env vars on small-memory executors).
+    _malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": "67108864",
+        "MALLOC_TRIM_THRESHOLD_": "134217728",
+        "MALLOC_ARENA_MAX": "2",
+    }
+    for k, v in _malloc_env.items():
+        os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -60,6 +77,12 @@ def get_spark(
                 os.environ.get("DS2S_ARROW_MAX_RECORDS", "65536"))
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
                 os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "system"))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                os.environ["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                os.environ["MALLOC_TRIM_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_ARENA_MAX",
+                os.environ["MALLOC_ARENA_MAX"])
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
