@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": lambda spark, sf: textops.token_count(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textops.quality_score(_docs(spark, sf)),
         "langid": lambda spark, sf: textops.langid(_docs(spark, sf)),
+        "repetition_score": lambda spark, sf: textops.repetition_score(
+            _docs(spark, sf)
+        ),
         "fingerprint": lambda spark, sf: textops.fingerprint(_docs(spark, sf)),
         "exact_dup_groups": lambda spark, sf: dedup.exact_dup_groups(_docs(spark, sf)),
         "jaccard_pairs": lambda spark, sf: dedup.jaccard_pairs(
@@ -237,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": OT.sql_token_count(),
         "quality_score": OT.sql_quality_score(),
         "langid": OT.sql_langid(),
+        "repetition_score": OT.sql_repetition_score(),
         "fingerprint": OT.sql_fingerprint(),
         "exact_dup_groups": OT.sql_exact_dup_groups(),
         "jaccard_pairs": OT.sql_jaccard_pairs(threshold=0.2),

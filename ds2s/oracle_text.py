@@ -65,6 +65,51 @@ SELECT doc_id, n_tokens, alpha_ratio, stop_ratio, avg_token_len,
 FROM ratios ORDER BY doc_id"""
 
 
+def _kgrams_sql(k: int) -> str:
+    """Plain k-grams over ``toks`` (no tiny-doc fallback — mirrors
+    ds2s.textops._kgrams exactly)."""
+    return f"""
+CASE WHEN len(toks) >= {k}
+     THEN list_transform(generate_series(1, len(toks) - {k - 1}),
+                         i -> array_to_string(toks[i:i+{k - 1}], ' '))
+     ELSE CAST([] AS VARCHAR[]) END"""
+
+
+def sql_repetition_score() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         cast(len(toks) AS INT) AS n_tokens,
+         {_kgrams_sql(2)} AS g2,
+         {_kgrams_sql(3)} AS g3
+  FROM t
+),
+fr AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(g2) > 0
+              THEN round((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2), 6)
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN len(g3) > 0
+              THEN round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 6)
+              ELSE 0.0 END AS dup_3gram_frac
+  FROM g
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+topc AS (SELECT doc_id, max(c) AS maxc FROM cnt GROUP BY doc_id)
+SELECT fr.doc_id, fr.n_tokens, fr.dup_2gram_frac, fr.dup_3gram_frac,
+       CASE WHEN fr.n_tokens > 0
+            THEN round(topc.maxc * 1.0 / fr.n_tokens, 6)
+            ELSE 0.0 END AS top_token_frac,
+       greatest(fr.dup_2gram_frac, fr.dup_3gram_frac,
+                CASE WHEN fr.n_tokens > 0
+                     THEN round(topc.maxc * 1.0 / fr.n_tokens, 6)
+                     ELSE 0.0 END) AS repetition
+FROM fr LEFT JOIN topc USING (doc_id)
+ORDER BY fr.doc_id"""
+
+
 def sql_langid() -> str:
     vals = ", ".join(
         f"('{lang}', '{w}')"

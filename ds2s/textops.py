@@ -110,6 +110,87 @@ def quality_score(documents: DataFrame) -> DataFrame:
     ).drop("n_chars")
 
 
+def _kgrams(tokens: Column, k: int) -> Column:
+    """Plain k-grams (no tiny-doc fallback — unlike shingles_col, a doc
+    shorter than k tokens has NO k-grams; a fallback shingle would count
+    as a spurious 'repeat' in the repetition metrics below)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+    return F.when(F.size(tokens) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_score(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac, top_token_frac,
+    repetition) — within-document repetition metrics, the standard
+    pre-training repetition filter family (duplicate n-gram fraction and
+    most-frequent-token share; cf. the published Gopher/MassiveText
+    quality-filter recipe).
+
+    Frozen semantics:
+    - ``dup_kgram_frac`` = 1 − distinct/total over the doc's k-grams
+      (0.0 when the doc has fewer than k tokens);
+    - ``top_token_frac`` = multiplicity of the most frequent token / total
+      tokens (0.0 for empty docs), computed as the longest equal run of
+      the SORTED token array — one linear Catalyst ``aggregate`` pass, no
+      explode/shuffle;
+    - ``repetition`` = greatest of the three (rounded inputs), a single
+      filterable severity column.
+
+    Scale: narrow per-row column math only — no shuffle at any size.
+    """
+    t = _toks()
+    d = documents.select("doc_id", t.alias("toks"))
+    n_tok = F.size("toks").cast("double")
+
+    def dup_frac(k: int) -> Column:
+        g = _kgrams(F.col("toks"), k)
+        n = F.size(g).cast("double")
+        return F.when(
+            n > 0,
+            F.round(
+                (n - F.size(F.array_distinct(g)).cast("double")) / n, 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    # longest equal run of the sorted token array == max multiplicity;
+    # tokens are non-empty by construction ([a-z0-9]+), so "" is a safe
+    # initial sentinel for prev
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+    top_cnt = F.aggregate(
+        F.array_sort("toks"),
+        run0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    ).cast("double")
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        F.when(n_tok > 0, F.round(top_cnt / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+    )
+    return d.withColumn(
+        "repetition",
+        F.greatest("dup_2gram_frac", "dup_3gram_frac", "top_token_frac"),
+    )
+
+
 def langid(documents: DataFrame) -> DataFrame:
     """(doc_id, pred_lang, hits) — stopword-profile n-gram heuristic.
 

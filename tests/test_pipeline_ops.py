@@ -39,6 +39,44 @@ def test_langid(docs):
     assert_match(textops.langid(docs), duck_run(OT.sql_langid(), SF), "langid")
 
 
+def test_repetition_score(docs):
+    assert_match(
+        textops.repetition_score(docs),
+        duck_run(OT.sql_repetition_score(), SF),
+        "repetition_score",
+    )
+
+
+def test_repetition_score_extremes(spark):
+    """Hand-built extremes: an all-same-token doc maxes every metric, a
+    unique-token doc floors them, tiny docs have no k-grams."""
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "one two three four five"),
+        (3, "solo"),
+        (4, ""),
+        (5, "ab ab cd ab ab cd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.repetition_score(docs).collect()
+    }
+    # 3 bigrams all equal → 1 distinct → dup = 2/3; top token 4/4
+    assert out[1]["dup_2gram_frac"] == pytest.approx(round(2 / 3, 6))
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["repetition"] == 1.0
+    assert out[2]["repetition"] == pytest.approx(0.2)  # top token 1/5
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1 and out[3]["dup_2gram_frac"] == 0.0
+    assert out[3]["top_token_frac"] == 1.0
+    assert out[4]["n_tokens"] == 0 and out[4]["repetition"] == 0.0
+    # doc 5: 6 tokens, bigrams = [ab ab, ab cd, cd ab, ab ab, ab cd] →
+    # 5 total, 3 distinct → dup 2/5; top token ab 4/6
+    assert out[5]["dup_2gram_frac"] == pytest.approx(0.4)
+    assert out[5]["top_token_frac"] == pytest.approx(round(4 / 6, 6))
+
+
 def test_fingerprint(docs):
     assert_match(
         textops.fingerprint(docs), duck_run(OT.sql_fingerprint(), SF), "fingerprint"
