@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": lambda spark, sf: multimodal.frame_sample(
             multimodal.media_table(_docs(spark, sf))
         ),
+        "resize_media": lambda spark, sf: multimodal.resize_media(
+            multimodal.media_table(_docs(spark, sf))
+        ),
     }
 
 
@@ -254,5 +257,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": OT.sql_ann_bruteforce_topk(),
         # ann_lsh_topk: approximate (recall property-tested) — rows-only
         "byte_histogram": OT.sql_byte_histogram(),
+        "resize_media": OT.sql_resize_media(),
         # frame_sample: binary payload slices — rows-only (pytest-verified)
     }

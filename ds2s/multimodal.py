@@ -100,6 +100,46 @@ def byte_histogram(media: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     return media.mapInPandas(hist, schema="doc_id long, bucket int, cnt long, frac double")
 
 
+def resize_media(media: DataFrame, target_len: int = 64) -> DataFrame:
+    """(doc_id, pos, value) — average-pool each decoded payload to a fixed
+    length (the 1-D analogue of image resize; the brief's *resize* verb).
+
+    Pooling rule (frozen so the DuckDB oracle can reproduce it exactly):
+    sample j of an n-sample payload lands in bucket ``j * target_len // n``;
+    a bucket's value is the mean of its samples, rounded half-up to 6 dp.
+    Payloads shorter than ``target_len`` emit only their non-empty buckets
+    (long-form rows, like ``byte_histogram``).  Sums stay < 2**53 so the
+    float64 mean is exact-before-rounding on both engines.
+
+    Scale: narrow per-row numpy over Arrow batches; a real 2-D image
+    resize swaps ``decode_media`` and pools per axis with the same rule —
+    the Spark-side plumbing (schema, batching, partition shape) is what
+    this operator pins down."""
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "pos": [], "value": []}
+            for doc_id, media_bytes, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                arr = decode_media(bytes(media_bytes), meta["format"])
+                n = len(arr)
+                if n == 0:
+                    continue
+                idx = (np.arange(n, dtype=np.int64) * target_len) // n
+                sums = np.bincount(idx, weights=arr, minlength=target_len)
+                cnts = np.bincount(idx, minlength=target_len)
+                nz = np.flatnonzero(cnts)
+                out["doc_id"].extend([doc_id] * len(nz))
+                out["pos"].extend(nz.tolist())
+                out["value"].extend(
+                    round_half_up(sums[nz] / cnts[nz], 6).tolist()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(pool, schema="doc_id long, pos int, value double")
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """(doc_id, frame_id, frame binary) — evenly-spaced payload slices.
 

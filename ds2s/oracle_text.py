@@ -30,11 +30,20 @@ sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shd)"""
 
 
 def sql_token_count() -> str:
+    # BPE-ish pretokenizer pattern must stay identical to
+    # ds2s.textops.BPE_PRETOKEN_RE (RE2-safe: no lookaheads).
     return f"""
 SELECT doc_id,
        cast(len(toks) AS INT) AS n_tokens,
        cast(len(list_distinct(toks)) AS INT) AS n_distinct,
-       cast(length(text) AS INT) AS n_chars
+       cast(length(text) AS INT) AS n_chars,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS INT)
+         AS n_ws_tokens,
+       cast(coalesce(list_sum(list_transform(
+              regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'),
+              p -> cast(ceil(length(p) / 4.0) AS INT))), 0) AS INT)
+         AS n_bpe_tokens
 FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)
 ORDER BY doc_id"""
 
@@ -341,3 +350,23 @@ SELECT h.doc_id, h.bucket, cast(h.cnt AS BIGINT) AS cnt,
        round(h.cnt * 1.0 / t.n, 6) AS frac
 FROM h JOIN tot t ON h.doc_id = t.doc_id
 ORDER BY h.doc_id, h.bucket"""
+
+
+def sql_resize_media(target_len: int = 64) -> str:
+    """Average-pool the utf-8 payload to ``target_len`` buckets — must
+    reproduce ds2s.multimodal.resize_media's frozen pooling rule
+    (bucket = 0-based-sample-index * target_len // n; mean rounded
+    half-up to 6 dp; ASCII corpus so codepoints == bytes)."""
+    return f"""
+WITH chars AS (
+  SELECT doc_id, length(text) AS n,
+         unnest(generate_series(1, length(text))) AS i,
+         unnest(list_transform(generate_series(1, length(text)),
+                               i -> ascii(substr(text, i, 1)))) AS code
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(((i - 1) * {target_len}) // n AS INT) AS pos,
+       round(avg(code), 6) AS value
+FROM chars GROUP BY doc_id, pos
+ORDER BY doc_id, pos"""

@@ -59,15 +59,36 @@ def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+# BPE-ish pretokenizer: letter runs / digit runs / punctuation runs (the
+# GPT-2 pretokenizer family minus lookaheads, so the SAME pattern runs
+# under Java regex (Spark) and RE2 (DuckDB)).  Subword estimate below uses
+# the public ~4-chars-per-BPE-token rule of thumb: ceil(len(piece)/4).
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
 def token_count(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_distinct, n_chars) — whitespace+regex token
-    accounting (BPE-less proxy; the per-doc `.sizes` input, SURVEY.md §1.1)."""
+    """(doc_id, n_tokens, n_distinct, n_chars, n_ws_tokens, n_bpe_tokens)
+    — token accounting over three frozen tokenizations: the engine regex
+    tokenizer (the per-doc `.sizes` input, SURVEY.md §1.1), a plain
+    whitespace split, and a BPE-ish estimate (pretokenizer pieces split
+    at the ~4-chars-per-subword rule of thumb).  All narrow Catalyst
+    column math — no shuffle, no Python."""
     t = _toks()
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+    n_bpe = F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("int"),
+    )
+    ws = F.split(F.trim("text"), "\\s+")
+    n_ws = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(ws))
     return documents.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
         F.length("text").alias("n_chars"),
+        n_ws.cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
     )
 
 

@@ -226,3 +226,36 @@ def test_frame_sample(spark, docs):
         step = max(1, len(raw) // 4)
         for r in rows:
             assert bytes(r["frame"]) == raw[r["frame_id"] * step : r["frame_id"] * step + step]
+
+
+def test_resize_media(docs):
+    media = multimodal.media_table(docs)
+    assert_match(
+        multimodal.resize_media(media),
+        duck_run(OT.sql_resize_media(), SF),
+        "resize_media",
+    )
+
+
+def test_resize_media_pooling_rule(spark):
+    """Pin the frozen pooling rule on hand-built payloads:
+    - n > target: sample j -> bucket j*target//n, value = mean
+    - n < target: only the occupied buckets are emitted (long form)
+    - n == 0: no rows"""
+    rows = [(1, "abcd"), (2, "xy"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.media_table(docs)
+    out = {
+        (r["doc_id"], r["pos"]): r["value"]
+        for r in multimodal.resize_media(media, target_len=2).collect()
+    }
+    # doc 1: "abcd" (97,98,99,100) -> bucket0 = mean(97,98), bucket1 = mean(99,100)
+    assert out[(1, 0)] == 97.5 and out[(1, 1)] == 99.5
+    # doc 2: "xy" (120,121) n==target -> identity buckets
+    assert out[(2, 0)] == 120.0 and out[(2, 1)] == 121.0
+    # doc 3 empty: absent entirely
+    assert not any(k[0] == 3 for k in out)
+    # short payload: n=1 < target=4 -> only bucket 0
+    one = spark.createDataFrame([(9, "Z")], "doc_id long, text string")
+    rows4 = multimodal.resize_media(multimodal.media_table(one), target_len=4).collect()
+    assert [(r["pos"], r["value"]) for r in rows4] == [(0, 90.0)]
