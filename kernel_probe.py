@@ -139,6 +139,10 @@ def main() -> None:
               (sys.argv[1] if len(sys.argv) > 1 else "1,8,32").split(",")]
     report = {"metric": "kernel_weak_scaling_no_spark",
               "part_rows": PART_ROWS, "rounds": ROUNDS,
+              # glibc reads these at child start — stamp them so tuned vs
+              # default allocator runs are distinguishable in the artifact
+              "malloc_env": {k: v for k, v in os.environ.items()
+                             if k.startswith("MALLOC_")} or None,
               "probe_before": host_probe(), "levels": {}}
     for p in levels:
         report["levels"][str(p)] = run_level(p)
