@@ -42,7 +42,12 @@ def _store_sindex(spark: SparkSession, sf_dir: str) -> ServingIndex:
     if key not in _STORE_CACHE:
         out = tempfile.mkdtemp(prefix="ds2s_store_")
         store = IndexStore(out)
-        store.write_checkpointed(_index(spark, key), source=key)
+        # pass the serving index's (persisted) block table so the write
+        # persists what was already encoded instead of re-running
+        # blocks_from_tf — the real pipeline shape: encode once, write once
+        store.write_checkpointed(
+            _index(spark, key), source=key, blocks=_sindex(spark, key).blocks
+        )
         _STORE_CACHE[key] = ServingIndex.from_store(spark, store)
     return _STORE_CACHE[key]
 

@@ -95,11 +95,19 @@ class IndexStore:
         n_buckets: int = 8,
         fail_after_units: int | None = None,
         content_col: str = "content",
+        blocks: DataFrame | None = None,
     ) -> int:
         """Write all index tables; returns number of units written THIS run.
 
         ``fail_after_units`` injects a crash after N fresh units (test hook
         for the kill/rerun resume property, SURVEY.md §7 Milestone 5).
+
+        ``blocks`` optionally supplies an ALREADY-ENCODED block table (e.g.
+        ``ServingIndex.blocks``, typically persisted): the write then skips
+        the duplicate blocks_from_tf pass — encode once, write what you
+        encoded.  blocks_from_tf is deterministic, so the stored table is
+        identical either way; the caller owns codec consistency (pass the
+        serving table built with the codec you want persisted).
         """
         cfg = idx.cfg
         fp = _config_fingerprint(cfg)
@@ -166,9 +174,13 @@ class IndexStore:
         unit(
             "lexicon",
             plain(
-                idx.lexicon.repartitionByRange(
-                    max(idx.lexicon.rdd.getNumPartitions(), 1), "term"
-                ).sortWithinPartitions("term"),
+                # no explicit partition count: repartitionByRange defaults to
+                # spark.sql.shuffle.partitions (AQE coalesces small ranges),
+                # and avoids the .rdd conversion job a getNumPartitions probe
+                # would cost on the Python side
+                idx.lexicon.repartitionByRange("term").sortWithinPartitions(
+                    "term"
+                ),
                 "lexicon",
             ),
         )
@@ -183,34 +195,33 @@ class IndexStore:
             if fail_after_units is not None and written >= fail_after_units:
                 raise RuntimeError("injected failure before unit blocks")
             t0 = time.perf_counter()
-            blocks = blocks_from_tf(
-                idx.tf.select("term_id", "doc_id", "tf", "len", "df"),
-                idx.n_docs, cfg, codec=codec, avg_len=idx.avg_len,
-            ).withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)))
-            blocks.write.partitionBy("bucket").mode("overwrite").parquet(
+            if blocks is None:
+                blocks = blocks_from_tf(
+                    idx.tf.select("term_id", "doc_id", "tf", "len", "df"),
+                    idx.n_docs, cfg, codec=codec, avg_len=idx.avg_len,
+                )
+            bucketed = blocks.withColumn(
+                "bucket", F.pmod(F.col("term_id"), F.lit(n_buckets))
+            )
+            bucketed.write.partitionBy("bucket").mode("overwrite").parquet(
                 str(self.root / "blocks")
             )
             wall = time.perf_counter() - t0
+            # ONE footer-metadata count job for all buckets, not one per
+            # bucket (the per-bucket variant was n_buckets driver jobs)
+            counts = {
+                int(r["bucket"]): int(r["n"])
+                for r in spark.read.parquet(str(self.root / "blocks"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
             for k, name in enumerate(bucket_names):
                 sub = self.root / "blocks" / f"bucket={k}"
-                n = (
-                    spark.read.parquet(str(sub)).count() if sub.exists() else 0
-                )
-                record(name, n, _dir_bytes(sub) if sub.exists() else 0,
+                record(name, counts.get(k, 0),
+                       _dir_bytes(sub) if sub.exists() else 0,
                        wall / n_buckets)
                 written += 1
-
-        # per-term wand upper bound — an aggregation over the STORED block
-        # table (column-pruned scan of block_max_score), no postings rescan
-        unit(
-            "wand_max",
-            plain(
-                spark.read.parquet(str(self.root / "blocks"))
-                .groupBy("term_id")
-                .agg(F.max("block_max_score").alias("max_score")),
-                "wand_max",
-            ),
-        )
 
         # superblock tier (Variable-BMW upper level, round-3): per (term,
         # superblock of sb_size blocks) range + max + count — metadata-only
@@ -232,6 +243,20 @@ class IndexStore:
                     F.count("*").alias("n_blocks"),
                 ),
                 "superblocks",
+            ),
+        )
+
+        # per-term wand upper bound — max is associative, so the max over
+        # superblock maxes equals the max over block maxes: aggregate the
+        # 1/sb_size STORED superblock table, not the block table (written
+        # just above, so present even on a resume that skipped it as done)
+        unit(
+            "wand_max",
+            plain(
+                spark.read.parquet(str(self.root / "superblocks"))
+                .groupBy("term_id")
+                .agg(F.max("sb_max_score").alias("max_score")),
+                "wand_max",
             ),
         )
 
