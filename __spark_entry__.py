@@ -67,6 +67,17 @@ def _sindex(spark: SparkSession, sf_dir: str) -> ServingIndex:
 
 
 _GROUPS_CACHE: dict[str, DataFrame] = {}
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs shared (persisted) by the standalone pairs query
+    and the dup_groups closure — the signature pass is one pipeline stage
+    feeding both consumers, not two independent MinHash runs."""
+    key = sf_dir.rstrip("/")
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = dedup.minhash_lsh_pairs(_docs(spark, sf_dir)).persist()
+    return _PAIRS_CACHE[key]
 
 
 def _groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +86,9 @@ def _groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent computations (same reuse pattern as _index/_sindex)."""
     key = sf_dir.rstrip("/")
     if key not in _GROUPS_CACHE:
-        _GROUPS_CACHE[key] = dedup.dup_groups(_docs(spark, sf_dir)).persist()
+        docs = _docs(spark, sf_dir)
+        edges = dedup.dup_edges(docs, pairs=_pairs(spark, sf_dir))
+        _GROUPS_CACHE[key] = dedup.dup_groups(edges=edges).persist()
     return _GROUPS_CACHE[key]
 
 
@@ -178,7 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": lambda spark, sf: dedup.jaccard_pairs(
             _docs(spark, sf), threshold=0.2
         ),
-        "minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf)),
+        "minhash_lsh_pairs": lambda spark, sf: _pairs(spark, sf),
         "simhash64": lambda spark, sf: dedup.simhash64(_docs(spark, sf)),
         "embedding_near_dup": lambda spark, sf: dedup.embedding_near_dup(
             _embs(spark, sf), threshold=0.5

@@ -58,6 +58,7 @@ def main() -> None:
         E._SIDX_CACHE.clear()
         E._STORE_CACHE.clear()
         E._GROUPS_CACHE.clear()
+        E._PAIRS_CACHE.clear()
         spark.catalog.clearCache()
 
         t0 = time.perf_counter()

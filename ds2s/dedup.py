@@ -405,11 +405,18 @@ def embedding_near_dup_ann(
 
 
 def dup_edges(documents: DataFrame, n_perm: int = N_PERM,
-              n_bands: int = N_BANDS, k: int = SHINGLE_K) -> DataFrame:
+              n_bands: int = N_BANDS, k: int = SHINGLE_K,
+              pairs: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b) undirected dup-candidate edges: MinHash-LSH pairs ∪
     exact-duplicate star edges (each exact dup linked to its group's min
-    doc — covers empty/shingle-less identical docs LSH cannot see)."""
-    lsh = minhash_lsh_pairs(documents, n_perm, n_bands, k)
+    doc — covers empty/shingle-less identical docs LSH cannot see).
+
+    ``pairs`` optionally supplies an already-computed (ideally persisted)
+    minhash_lsh_pairs result so a pipeline that also consumes the pairs
+    directly runs the MinHash signature pass once, not twice."""
+    lsh = pairs if pairs is not None else minhash_lsh_pairs(
+        documents, n_perm, n_bands, k
+    )
     grp = documents.select("doc_id", F.md5("text").alias("h"))
     first = grp.groupBy("h").agg(F.min("doc_id").alias("doc_a"))
     exact = (
@@ -424,6 +431,7 @@ def dup_groups(
     documents: DataFrame | None = None,
     edges: DataFrame | None = None,
     max_iter: int = 25,
+    collect_cap: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, group_id, is_keeper) over the TRANSITIVE CLOSURE of the
     dup edges — the step that turns candidate pairs into actionable dedup
@@ -443,7 +451,18 @@ def dup_groups(
     round materializes via localCheckpoint, so lineage stays O(1) and
     the convergence check is one count on the checkpointed frame.  Scale
     shape: every round is bounded by |E| + |V| shuffle rows — the
-    standard star-contraction family, sub-quadratic at any corpus size."""
+    standard star-contraction family, sub-quadratic at any corpus size.
+
+    Small-graph fast path: the candidate-pair graph is orders of
+    magnitude smaller than the corpus (it holds only docs with at least
+    one dup candidate), and each distributed round costs ~5 shuffles of
+    fixed scheduling overhead.  When |symmetric edges| ≤ ``collect_cap``
+    (default 2M rows ≈ 32 MB driver transfer — same bounded-driver-state
+    contract as ServingIndex.plan_collect_cap) the closure is computed
+    with a driver-side union-find on the collected edge list, which is
+    exact and identical to the converged propagation.  Larger graphs run
+    the distributed rounds unchanged; pass ``collect_cap=0`` to force
+    them (the equality is pytest-covered both ways)."""
     if edges is None:
         if documents is None:
             raise ValueError("pass documents or edges")
@@ -451,6 +470,39 @@ def dup_groups(
     e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.distinct().persist()
+
+    n_edges = e.count()  # also materializes the persist for either path
+    if n_edges <= collect_cap:
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        e.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in pairs:
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict = {}
+        roots = {x: find(x) for x in parent}
+        for x, r in roots.items():
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(x, comp_min[r], int(x == comp_min[r]))
+             for x, r in roots.items()],
+            schema="doc_id long, group_id long, is_keeper int",
+        )
 
     lbl = (
         e.select(F.col("u").alias("node"))

@@ -68,14 +68,18 @@ def test_dup_groups_equals_union_find_on_random_graph(spark):
             edges.add((min(a, b), max(a, b)))
     pairs = sorted(edges)
     pdf = spark.createDataFrame(pairs, schema="doc_a long, doc_b long")
-    got = {
-        r["doc_id"]: (r["group_id"], r["is_keeper"])
-        for r in dedup.dup_groups(edges=pdf).collect()
-    }
     exp = _union_find_groups(pairs)
-    assert set(got) == set(exp)
-    for node, root in exp.items():
-        assert got[node] == (root, int(node == root)), node
+    # both paths must agree with the brute-force closure: the driver
+    # union-find fast path (cap default) AND the distributed label
+    # propagation (collect_cap=0 forces it)
+    for cap in (2_000_000, 0):
+        got = {
+            r["doc_id"]: (r["group_id"], r["is_keeper"])
+            for r in dedup.dup_groups(edges=pdf, collect_cap=cap).collect()
+        }
+        assert set(got) == set(exp), f"cap={cap}"
+        for node, root in exp.items():
+            assert got[node] == (root, int(node == root)), (cap, node)
 
 
 def test_near_dup_ann_subset_and_recall(spark):
