@@ -78,9 +78,13 @@ def jaccard_pairs(
     """
     sh = _doc_shingles(documents, k)
     df_f = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    # persisted: consumed three times below (set sizes + both sides of the
+    # intersection self-join) — without it the tokenize/shingle/df-filter
+    # chain re-executes per consumer (measured 4.5s -> 2.6s at sf0.1)
     sh = sh.join(df_f.filter(F.col("sdf") <= max_shingle_df), "shingle").select(
         "doc_id", "shingle"
-    )
+    ).persist()
+    sh.count()  # eager — the three consumers otherwise race the cache fill
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -105,22 +109,37 @@ def jaccard_pairs(
     return out
 
 
+def _minhash_wide(documents: DataFrame, n_perm: int, k: int) -> DataFrame:
+    """(doc_id, m0..m{n_perm-1}) — the signature as ONE wide aggregation.
+
+    Permutation j's hash of shingle s is ``md5(j || ':' || s)``; the
+    signature entry is the lexicographic min.  Computing all n_perm
+    minima as columns of a single groupBy(doc_id) avoids the naive
+    perms-crossJoin formulation, whose (doc, perm)-keyed min(string)
+    compiles to a SortAggregate over an n_perm×-exploded row stream
+    (measured at sf0.1: two sorts of 4.2M rows vs one shuffle of 260k
+    shingle rows here — the explode was the whole cost of the operator)."""
+    sh = _doc_shingles(documents, k)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))
+            ).alias(f"m{j}")
+            for j in range(n_perm)
+        ]
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_perm: int = N_PERM,
                        k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, perm, minhash) — permutation j's hash of shingle s is
     ``md5(j || ':' || s)``; the signature entry is the lexicographic min."""
-    spark = documents.sparkSession
-    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("perm"))
-    sh = _doc_shingles(documents, k)
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    stack = "stack({}, {}) as (perm, minhash)".format(
+        n_perm, ", ".join(f"{j}, m{j}" for j in range(n_perm))
     )
+    return _minhash_wide(documents, n_perm, k).select(
+        "doc_id", F.expr(stack)
+    ).select("doc_id", F.col("perm").cast("int"), "minhash")
 
 
 def minhash_band_keys(signatures: DataFrame, n_perm: int = N_PERM,
@@ -147,8 +166,35 @@ def minhash_band_keys(signatures: DataFrame, n_perm: int = N_PERM,
 
 def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
                       n_bands: int = N_BANDS, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_a, doc_b) DISTINCT candidate pairs sharing ≥1 LSH band."""
-    bands = minhash_band_keys(minhash_signatures(documents, n_perm, k), n_perm, n_bands)
+    """(doc_a, doc_b) DISTINCT candidate pairs sharing ≥1 LSH band.
+
+    Band keys project straight off the wide signature row (band b =
+    perms [b·rpb, (b+1)·rpb) concatenated in perm order — identical to
+    minhash_band_keys' sort-by-perm string_agg), so the whole candidate
+    pipeline is: shingle explode → one groupBy(doc_id) shuffle → band
+    projection → bucket self-join.  The band table is persisted before
+    the self-join so the signature pass runs once, not once per side."""
+    rpb = n_perm // n_bands
+    wide = _minhash_wide(documents, n_perm, k)
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"m{b * rpb + r}") for r in range(rpb)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key").persist()
+    # eager: both self-join sides otherwise race to fill the same cache
+    # partitions in one action and the signature pass runs twice anyway
+    bands.count()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
