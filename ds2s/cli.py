@@ -25,6 +25,11 @@ instead of pre-resolved termIDs; we own the lexicon, SURVEY.md §1.4).
 
 ``build`` is resumable: rerunning with the same --out skips completed
 units via the manifest (kill/rerun safe).
+
+Imports of the engine are absolute (``ds2s.*``): spark-submit executes
+this file as a top-level application script with no package context, so
+relative imports would fail there; the ds2s package itself arrives via
+``--py-files`` (or the adjacent source tree).
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ import time
 def _load_corpus(spark, path: str):
     from pyspark.sql import functions as F
 
-    from .corpus import load_code_corpus
+    from ds2s.corpus import load_code_corpus
 
     df = spark.read.parquet(path)
     cols = set(df.columns)
@@ -54,9 +59,9 @@ def _load_corpus(spark, path: str):
 
 
 def cmd_build(args: argparse.Namespace) -> None:
-    from .invert import build_index
-    from .manifest import IndexStore
-    from .session import get_spark
+    from ds2s.invert import build_index
+    from ds2s.manifest import IndexStore
+    from ds2s.session import get_spark
 
     spark = get_spark(app="ds2s-build")
     t0 = time.perf_counter()
@@ -81,9 +86,9 @@ def cmd_build(args: argparse.Namespace) -> None:
 
 
 def cmd_query(args: argparse.Namespace) -> None:
-    from .manifest import IndexStore
-    from .serve import ServingIndex
-    from .session import get_spark
+    from ds2s.manifest import IndexStore
+    from ds2s.serve import ServingIndex
+    from ds2s.session import get_spark
 
     spark = get_spark(app="ds2s-query")
     store = IndexStore(args.index)
