@@ -407,7 +407,8 @@ def embedding_near_dup_ann(
             auto_p, auto_t = A.auto_lsh_params(embeddings.count())
             n_planes = n_planes or auto_p
             n_tables = n_tables or auto_t
-        bk = A.lsh_buckets(embeddings, n_planes, n_tables)
+        bk = A.lsh_buckets(embeddings, n_planes, n_tables).persist()
+        bk.count()  # eager: both self-join sides otherwise recompute it
         a = bk.alias("a")
         b = bk.alias("b")
         cand = (
@@ -427,7 +428,8 @@ def embedding_near_dup_ann(
         centroids = A.ivf_fit_centroids(
             embeddings, n_centroids, sample_cap, n_hint=n
         )
-        probes = A.ivf_multi_assignments(embeddings, centroids, top=nprobe)
+        probes = A.ivf_multi_assignments(embeddings, centroids, top=nprobe).persist()
+        probes.count()  # eager: consumed as BOTH sides of the cluster join
         primary = probes.filter(F.col("crank") == 1).select("vec_id", "cluster")
         p = probes.select(F.col("vec_id").alias("pid"), "cluster")
         q = primary.select(F.col("vec_id").alias("qid"), "cluster")
