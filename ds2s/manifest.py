@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import asdict
 from pathlib import Path
@@ -123,19 +124,21 @@ class IndexStore:
             if row.get("config") == fp
         }
         written = 0
+        mlock = threading.Lock()  # _append_manifest is read-modify-write
 
         def record(name: str, n_rows: int, nbytes: int, wall_s: float) -> None:
-            self._append_manifest(
-                {
-                    "unit": name,
-                    "source": source,
-                    "config": fp,
-                    "n_rows": int(n_rows),
-                    "bytes": int(nbytes),
-                    "wall_s": round(wall_s, 3),
-                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                }
-            )
+            with mlock:
+                self._append_manifest(
+                    {
+                        "unit": name,
+                        "source": source,
+                        "config": fp,
+                        "n_rows": int(n_rows),
+                        "bytes": int(nbytes),
+                        "wall_s": round(wall_s, 3),
+                        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    }
+                )
 
         def unit(name: str, fn) -> None:
             nonlocal written
@@ -146,7 +149,8 @@ class IndexStore:
             t0 = time.perf_counter()
             n_rows, nbytes = fn()
             record(name, n_rows, nbytes, time.perf_counter() - t0)
-            written += 1
+            with mlock:
+                written += 1
 
         def plain(df: DataFrame, sub: str):
             def run():
@@ -158,42 +162,13 @@ class IndexStore:
 
             return run
 
-        # per-row sha256 invariant vs the source (BASELINE.json:15)
-        unit(
-            "corpus_manifest",
-            plain(
-                with_sha256(idx.corpus, content_col).select("doc_id", "content_sha256"),
-                "corpus_manifest",
-            ),
-        )
-        unit("sizes", plain(idx.sizes, "sizes"))
-        # lexicon is written TERM-SORTED (range partition + in-file sort):
-        # serving's `term IN (...)` lookup then prunes whole files via
-        # parquet min/max stats instead of scanning a billions-row code
-        # vocabulary per query batch (round-2 verdict item 4)
-        unit(
-            "lexicon",
-            plain(
-                # no explicit partition count: repartitionByRange defaults to
-                # spark.sql.shuffle.partitions (AQE coalesces small ranges),
-                # and avoids the .rdd conversion job a getNumPartitions probe
-                # would cost on the Python side
-                idx.lexicon.repartitionByRange("term").sortWithinPartitions(
-                    "term"
-                ),
-                "lexicon",
-            ),
-        )
-
-        # ONE pass writes every bucket (write.partitionBy): the
-        # blocks_from_tf pipeline executes exactly once, not once per
-        # bucket.  Bucket units commit together; a crash mid-write leaves
-        # no bucket lines and the whole blocks dir is rewritten (overwrite)
-        # idempotently on resume.
-        bucket_names = [f"blocks_bucket_{k}" for k in range(n_buckets)]
-        if any(name not in done for name in bucket_names):
-            if fail_after_units is not None and written >= fail_after_units:
-                raise RuntimeError("injected failure before unit blocks")
+        def blocks_group() -> None:
+            # ONE pass writes every bucket (write.partitionBy): the
+            # blocks_from_tf pipeline executes exactly once, not once per
+            # bucket.  Bucket units commit together; a crash mid-write
+            # leaves no bucket lines and the whole blocks dir is rewritten
+            # (overwrite) idempotently on resume.
+            nonlocal written, blocks
             t0 = time.perf_counter()
             if blocks is None:
                 blocks = blocks_from_tf(
@@ -221,7 +196,67 @@ class IndexStore:
                 record(name, counts.get(k, 0),
                        _dir_bytes(sub) if sub.exists() else 0,
                        wall / n_buckets)
-                written += 1
+                with mlock:
+                    written += 1
+
+        # The four leading outputs are INDEPENDENT tables (corpus sha
+        # manifest, sizes, lexicon, blocks) — their write jobs run
+        # concurrently from worker threads against the shared scheduler
+        # (idle-executor overlap; the same shape a cluster writer uses).
+        # The sequential path is kept for fail_after_units: crash
+        # injection needs a deterministic unit order (resume pytest).
+        indep: list[tuple[str, object]] = [
+            # per-row sha256 invariant vs the source (BASELINE.json:15)
+            (
+                "corpus_manifest",
+                plain(
+                    with_sha256(idx.corpus, content_col).select(
+                        "doc_id", "content_sha256"
+                    ),
+                    "corpus_manifest",
+                ),
+            ),
+            ("sizes", plain(idx.sizes, "sizes")),
+            # lexicon is written TERM-SORTED (range partition + in-file
+            # sort): serving's `term IN (...)` lookup then prunes whole
+            # files via parquet min/max stats instead of scanning a
+            # billions-row code vocabulary per query batch (round-2
+            # verdict item 4).  No explicit partition count:
+            # repartitionByRange defaults to spark.sql.shuffle.partitions
+            # (AQE coalesces small ranges) and avoids the .rdd
+            # conversion-job probe.
+            (
+                "lexicon",
+                plain(
+                    idx.lexicon.repartitionByRange("term")
+                    .sortWithinPartitions("term"),
+                    "lexicon",
+                ),
+            ),
+        ]
+        bucket_names = [f"blocks_bucket_{k}" for k in range(n_buckets)]
+        blocks_pending = any(name not in done for name in bucket_names)
+
+        if fail_after_units is not None:
+            for name, fn in indep:
+                unit(name, fn)
+            if blocks_pending:
+                if written >= fail_after_units:
+                    raise RuntimeError("injected failure before unit blocks")
+                blocks_group()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                futs = [
+                    ex.submit(unit, name, fn)
+                    for name, fn in indep
+                    if name not in done
+                ]
+                if blocks_pending:
+                    futs.append(ex.submit(blocks_group))
+                for f in futs:
+                    f.result()  # re-raise the first failure
 
         # superblock tier (Variable-BMW upper level, round-3): per (term,
         # superblock of sb_size blocks) range + max + count — metadata-only
