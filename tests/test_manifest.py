@@ -72,6 +72,30 @@ def test_checkpoint_resume_roundtrip(tmp_path, spark, synth_idx):
     assert meta["codec"] == "pef"
 
 
+def test_single_unit_invalidation_rewrites_only_it(tmp_path, spark, synth_idx):
+    """Dropping one unit's manifest row makes the (concurrent) rerun
+    rewrite exactly that unit — the done-set check under the round-4
+    thread-pool write path."""
+    import json
+
+    store = IndexStore(str(tmp_path / "idx"))
+    store.write_checkpointed(
+        synth_idx, source="synth", codec="pef", n_buckets=N_BUCKETS
+    )
+    rows = [
+        json.loads(line)
+        for line in store.manifest_path.read_text().splitlines()
+        if json.loads(line)["unit"] != "sizes"
+    ]
+    store.manifest_path.write_text(
+        "".join(json.dumps(r) + "\n" for r in rows)
+    )
+    assert store.write_checkpointed(
+        synth_idx, source="synth", codec="pef", n_buckets=N_BUCKETS
+    ) == 1
+    assert len(store.completed_units()) == TOTAL_UNITS
+
+
 def test_serve_from_store(tmp_path, spark, synth_idx):
     """ServingIndex.from_store (the mmap-load analogue) must be
     rank-identical to the exhaustive oracle — no corpus, no re-invert."""
