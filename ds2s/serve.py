@@ -66,11 +66,30 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from .blocks import blocks_from_tf
 from .codecs import decode_docs, decode_tfs
 from .config import DEFAULT_CONFIG, IndexConfig
 from .invert import InvertedIndex
 from .util import round_half_up
+
+
+@contextmanager
+def _no_aqe(spark):
+    """Disable adaptive execution around the serving plan's EAGER driver
+    fetches (cursor resolve, fused metadata+seed toPandas).  These are
+    small bounded queries over persisted/pushdown-pruned tables; AQE's
+    stage-by-stage materialization turns each exchange into its own job
+    (measured: 8 → 5 jobs and 1.96 → 1.26 s per 20-query BMW batch at
+    sf0.1 with AQE off).  Build/encode pipelines keep AQE — the guard
+    restores the previous value, and serving calls are driver-sequential."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 _UB_MARGIN = 1.0 + 1e-9
 _OUT_SCHEMA = "qid int, rank int, doc_id long, score double"
@@ -507,18 +526,19 @@ class ServingIndex:
 
         scorer = self.cfg.scorer
         n = float(self.n_docs)
-        wcount = Counter(
-            (int(r["qid"]), r["term"])
-            for r in qdf.select("qid", "term").collect()
-        )
-        terms = sorted({t for _, t in wcount})
-        if not terms:
-            return []
-        lex = (
-            self.lexicon.filter(F.col("term").isin(terms))
-            .select("term", "term_id", "df")
-            .collect()
-        )
+        with _no_aqe(qdf.sparkSession):
+            wcount = Counter(
+                (int(r["qid"]), r["term"])
+                for r in qdf.select("qid", "term").collect()
+            )
+            terms = sorted({t for _, t in wcount})
+            if not terms:
+                return []
+            lex = (
+                self.lexicon.filter(F.col("term").isin(terms))
+                .select("term", "term_id", "df")
+                .collect()
+            )
         tmap = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in lex}
         cur = []
         for (qid, term), w in sorted(wcount.items()):
@@ -646,6 +666,7 @@ class ServingIndex:
         spark = qdf.sparkSession
         cur = self._resolve_cursors(qdf)
         if not cur:
+            self.last_plan = {"est_blocks": 0, "n_qids": 0}
             empty = self.blocks.limit(0).withColumn("qid", F.lit(0))
             for c in ("w", "idf", "max_score", "theta0"):
                 empty = empty.withColumn(c, F.lit(0.0))
@@ -665,21 +686,24 @@ class ServingIndex:
 
         surv_rows: list[tuple] | None = None
         fallback_sbk: pd.DataFrame | None = None
-        self.last_plan: dict = {"est_blocks": est_blocks}
+        self.last_plan: dict = {
+            "est_blocks": est_blocks, "n_qids": len(qid_terms)
+        }
 
         if est_blocks <= self.plan_collect_cap:
             # small tier: exact block grid entirely in the driver.  The
             # metadata fetch and the θ₀ seed payload fetch travel in ONE
             # union → ONE driver job (fixed job latency dominates small
             # batches; at sf0.1 each saved job is ~0.5-1 s of serve time)
-            fused = (
-                self.blocks.filter(F.col("term_id").isin(tids))
-                .select("term_id", "block_id", "first_doc", "last_doc",
-                        "block_max_score")
-                .withColumn("is_seed", F.lit(False))
-                .unionByName(seed_df, allowMissingColumns=True)
-                .toPandas()
-            )
+            with _no_aqe(spark):
+                fused = (
+                    self.blocks.filter(F.col("term_id").isin(tids))
+                    .select("term_id", "block_id", "first_doc", "last_doc",
+                            "block_max_score")
+                    .withColumn("is_seed", F.lit(False))
+                    .unionByName(seed_df, allowMissingColumns=True)
+                    .toPandas()
+                )
             seed_pdf = fused[fused["is_seed"]]
             meta = fused[~fused["is_seed"]]
             theta0 = self._theta0_from_rows(cur, seed_pdf, k, quantum)
@@ -696,12 +720,13 @@ class ServingIndex:
         else:
             # superblock tier: grid-prune 1/sb_size metadata first (the
             # superblock fetch and the θ₀ seed fetch share one job)
-            fused = (
-                self.superblocks.filter(F.col("term_id").isin(tids))
-                .withColumn("is_seed", F.lit(False))
-                .unionByName(seed_df, allowMissingColumns=True)
-                .toPandas()
-            )
+            with _no_aqe(spark):
+                fused = (
+                    self.superblocks.filter(F.col("term_id").isin(tids))
+                    .withColumn("is_seed", F.lit(False))
+                    .unionByName(seed_df, allowMissingColumns=True)
+                    .toPandas()
+                )
             seed_pdf = fused[fused["is_seed"]]
             sbm = fused[~fused["is_seed"]]
             theta0 = self._theta0_from_rows(cur, seed_pdf, k, quantum)
@@ -748,17 +773,19 @@ class ServingIndex:
                 if sbk_df is None:
                     surv_rows = []
                 else:
-                    meta = (
-                        self.blocks
-                        .withColumn(
-                            "sb_id",
-                            (F.col("block_id") / self.sb_size).cast("int"),
+                    with _no_aqe(spark):
+                        meta = (
+                            self.blocks
+                            .withColumn(
+                                "sb_id",
+                                (F.col("block_id") / self.sb_size).cast("int"),
+                            )
+                            .join(F.broadcast(sbk_df), ["term_id", "sb_id"])
+                            .select("term_id", "sb_id", "block_id",
+                                    "first_doc", "last_doc",
+                                    "block_max_score")
+                            .toPandas()
                         )
-                        .join(F.broadcast(sbk_df), ["term_id", "sb_id"])
-                        .select("term_id", "sb_id", "block_id", "first_doc",
-                                "last_doc", "block_max_score")
-                        .toPandas()
-                    )
                     meta_by_tid = self._meta_arrays(meta, with_sb=True)
                     surv_rows = []
                     for qid, qterms in sorted(qid_terms.items()):
@@ -840,10 +867,25 @@ class ServingIndex:
         ``algo``: "bmw" (block-max intervals, [U] ds2i
         block_max_wand_query), "maxscore" (term-bound intervals, [U] ds2i
         maxscore_query), or "wand" (adaptive-θ docID-ordered pivoting,
-        [U] ds2i wand_query)."""
+        [U] ds2i wand_query).
+
+        The result is BOUNDED (≤ batch qids × k rows), so when it fits
+        the plan_collect_cap driver-state contract the kernel runs
+        eagerly under the serving no-AQE guard and a local-relation
+        DataFrame is returned: the caller's later action then costs zero
+        extra jobs, and the kernel's exchange isn't split into
+        per-stage AQE jobs (the queries-tool shape — ds2i's queries.cpp
+        also materializes each batch's results)."""
         surv = self.survivor_blocks(qdf, k=k, rank_round=rank_round)
         kernel = _make_kernel(k, algo, self.cfg.scorer, self.avg_len, rank_round)
-        return surv.groupBy("qid").applyInPandas(kernel, schema=_OUT_SCHEMA)
+        out = surv.groupBy("qid").applyInPandas(kernel, schema=_OUT_SCHEMA)
+        n_qids = int(self.last_plan.get("n_qids", 0))
+        if n_qids * k <= self.plan_collect_cap:
+            spark = qdf.sparkSession
+            with _no_aqe(spark):
+                pdf = out.toPandas()
+            return spark.createDataFrame(pdf, schema=_OUT_SCHEMA)
+        return out
 
 
 def bmw_topk(sidx: ServingIndex, qdf: DataFrame, k: int = 10) -> DataFrame:
