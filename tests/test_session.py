@@ -18,3 +18,19 @@ def test_worker_env_confs(spark):
     assert int(conf.get("spark.executorEnv.MALLOC_ARENA_MAX")) <= 8
     # the Spark-4 per-row sizeInBytes storm sentinel (round 3)
     assert conf.get("spark.sql.execution.arrow.maxBytesPerBatch") == str(2**31 - 1)
+
+
+def test_no_aqe_guard_restores_on_exception(spark):
+    """The serving no-AQE guard must restore the session conf even when
+    the wrapped fetch raises (a leaked 'false' would silently change
+    every later build plan in the session)."""
+    import pytest
+
+    from ds2s.serve import _no_aqe
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    with pytest.raises(RuntimeError, match="boom"):
+        with _no_aqe(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
