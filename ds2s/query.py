@@ -32,9 +32,15 @@ from .queryset import queries_rows
 
 
 def queries_df(spark, rows=None) -> DataFrame:
-    """(qid, ord, term) — duplicates kept, ord = in-query position."""
+    """(qid, ord, term) — duplicates kept, ord = in-query position.
+
+    Coalesced to one partition per ~4k rows: createDataFrame otherwise
+    spreads a 20-row reference batch over defaultParallelism partitions,
+    and every serve call then schedules that many near-empty tasks just
+    to read the batch."""
     rows = rows if rows is not None else queries_rows()
-    return spark.createDataFrame(rows, schema="qid int, ord int, term string")
+    df = spark.createDataFrame(rows, schema="qid int, ord int, term string")
+    return df.coalesce(max(1, len(rows) // 4096 + 1))
 
 
 def bm25_score_col(scorer: Scorer, n_docs: int, avg_len: float) -> Column:
