@@ -44,9 +44,14 @@ def _store_sindex(spark: SparkSession, sf_dir: str) -> ServingIndex:
         store = IndexStore(out)
         # pass the serving index's (persisted) block table so the write
         # persists what was already encoded instead of re-running
-        # blocks_from_tf — the real pipeline shape: encode once, write once
+        # blocks_from_tf — the real pipeline shape: encode once, write once.
+        # codec= must name what those blocks were actually encoded with
+        # (the ServingIndex above is codec="pef"): _index.json records it,
+        # and a later resume on this store dir must not regenerate missing
+        # buckets with a different codec than the ones already present.
         store.write_checkpointed(
-            _index(spark, key), source=key, blocks=_sindex(spark, key).blocks
+            _index(spark, key), source=key, codec="pef",
+            blocks=_sindex(spark, key).blocks,
         )
         _STORE_CACHE[key] = ServingIndex.from_store(spark, store)
     return _STORE_CACHE[key]

@@ -34,6 +34,17 @@ from .textops import SHINGLE_K, shingles_col, _toks
 
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # LSH bands (rows per band = N_PERM / N_BANDS)
+# Skew cap on LSH bucket cardinality (minhash band buckets and embedding
+# hash buckets): buckets holding more docs/vectors than the cap are dropped
+# from candidate generation — declared semantics, the band-join twin of
+# jaccard_pairs' max_shingle_df suffix filter.  A degenerate key (templated
+# corpora: thousands of near-identical docs share every band) is otherwise
+# a quadratic bucket and a straggler task.  Chosen two orders of magnitude
+# above the fixture maxima (measured: max band bucket 3 at sf0.01, 4 at
+# sf0.1) so small-scale outputs are unchanged while any bucket's pair
+# volume is bounded at cap² rows.
+MAX_BAND_DF = 256
+MAX_VEC_BUCKET_DF = 1024
 
 
 def exact_dup_groups(documents: DataFrame) -> DataFrame:
@@ -67,6 +78,7 @@ def jaccard_pairs(
     threshold: float = 0.7,
     k: int = SHINGLE_K,
     max_shingle_df: int = 100,
+    eager: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
 
@@ -75,16 +87,24 @@ def jaccard_pairs(
     Shingles appearing in more than ``max_shingle_df`` docs are dropped
     from BOTH the intersection and the set sizes (declared semantics —
     keeps the self-join sub-quadratic on boilerplate).
-    """
+
+    ``eager`` (default): the shared shingle table persists + materializes
+    at CALL time — it is consumed three times below (set sizes + both
+    self-join sides; measured 4.5 s → 2.6 s at sf0.1) and racing consumers
+    would each fill the cache.  The cache lives until
+    ``spark.catalog.clearCache()`` (the bench does this per rep) or an
+    explicit unpersist by the caller — the returned plan keeps referencing
+    it, so this function cannot unpersist for you.  Pass ``eager=False``
+    to only COMPOSE the plan (no jobs at call time, nothing persisted; the
+    shingle chain then re-executes per consumer)."""
     sh = _doc_shingles(documents, k)
     df_f = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    # persisted: consumed three times below (set sizes + both sides of the
-    # intersection self-join) — without it the tokenize/shingle/df-filter
-    # chain re-executes per consumer (measured 4.5s -> 2.6s at sf0.1)
     sh = sh.join(df_f.filter(F.col("sdf") <= max_shingle_df), "shingle").select(
         "doc_id", "shingle"
-    ).persist()
-    sh.count()  # eager — the three consumers otherwise race the cache fill
+    )
+    if eager:
+        sh = sh.persist()
+        sh.count()  # the three consumers otherwise race the cache fill
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -164,19 +184,17 @@ def minhash_band_keys(signatures: DataFrame, n_perm: int = N_PERM,
     )
 
 
-def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
-                      n_bands: int = N_BANDS, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_a, doc_b) DISTINCT candidate pairs sharing ≥1 LSH band.
-
-    Band keys project straight off the wide signature row (band b =
-    perms [b·rpb, (b+1)·rpb) concatenated in perm order — identical to
-    minhash_band_keys' sort-by-perm string_agg), so the whole candidate
-    pipeline is: shingle explode → one groupBy(doc_id) shuffle → band
-    projection → bucket self-join.  The band table is persisted before
-    the self-join so the signature pass runs once, not once per side."""
+def _band_table(documents: DataFrame, n_perm: int, n_bands: int,
+                k: int) -> DataFrame:
+    """(doc_id, band, band_key) — band keys projected straight off the
+    wide signature row: band b concatenates perms [b·rpb, (b+1)·rpb) in
+    perm order.  Claimed (and property-tested, tests/test_dedup_groups.py)
+    identical to the ``minhash_band_keys``-over-``minhash_signatures``
+    formulation — the sort_array path and this projection must never
+    drift, since the oracle SQL's string_agg(ORDER BY perm) matches both."""
     rpb = n_perm // n_bands
     wide = _minhash_wide(documents, n_perm, k)
-    bands = wide.select(
+    return wide.select(
         "doc_id",
         F.explode(
             F.array(
@@ -191,10 +209,52 @@ def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_key").persist()
-    # eager: both self-join sides otherwise race to fill the same cache
-    # partitions in one action and the signature pass runs twice anyway
-    bands.count()
+    ).select("doc_id", "bb.band", "bb.band_key")
+
+
+def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
+                      n_bands: int = N_BANDS, k: int = SHINGLE_K,
+                      max_band_df: int = MAX_BAND_DF,
+                      eager: bool = True) -> DataFrame:
+    """(doc_a, doc_b) DISTINCT candidate pairs sharing ≥1 LSH band.
+
+    Band keys project straight off the wide signature row (band b =
+    perms [b·rpb, (b+1)·rpb) concatenated in perm order — identical to
+    minhash_band_keys' sort-by-perm string_agg), so the whole candidate
+    pipeline is: shingle explode → one groupBy(doc_id) shuffle → band
+    projection → bucket self-join.
+
+    Skew guard (declared semantics, the twin of jaccard_pairs'
+    ``max_shingle_df``): a (band, band_key) bucket holding more than
+    ``max_band_df`` docs is DROPPED from candidate generation before the
+    self-join.  On boilerplate-heavy corpora thousands of near-identical
+    docs share every band — one degenerate key is a quadratic bucket and
+    a straggler task at 100× scale.  Docs in an over-cap bucket are in
+    practice exact/near-exact duplicate floods that the exact-dup pass
+    (md5 star edges in ``dup_edges``) already links; the cap bounds each
+    bucket's pair volume at max_band_df² regardless of corpus shape.
+    Pass ``max_band_df=0`` to disable.
+
+    ``eager`` (default): the band table persists + materializes at call
+    time — both the bucket-df count and the two self-join sides consume
+    it, and racing consumers would run the signature pass per side.  Same
+    cache-lifetime contract as ``jaccard_pairs`` (caller unpersists or
+    clearCache); ``eager=False`` only composes the plan."""
+    bands = _band_table(documents, n_perm, n_bands, k)
+    if eager:
+        bands = bands.persist()
+        bands.count()
+    if max_band_df:
+        # bucket cardinality is a partial-agg count over the persisted band
+        # table (map-side combine — cheap); only under-cap keys reach the
+        # self-join, so no single reducer ever sees a quadratic bucket
+        keep = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_band_df)
+            .select("band", "band_key")
+        )
+        bands = bands.join(keep, ["band", "band_key"])
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -379,6 +439,8 @@ def embedding_near_dup_ann(
     n_centroids: int | None = None,
     nprobe: int | None = None,
     sample_cap: int = 65536,
+    max_bucket_df: int = MAX_VEC_BUCKET_DF,
+    eager: bool = True,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) near-dup pairs via BUCKETED candidates —
     the operator a 100 TB pipeline actually calls (round-3 verdict item 2).
@@ -394,11 +456,23 @@ def embedding_near_dup_ann(
       the quadratic pair volume on balanced cells, independent of the
       data distribution).
     - ``lsh``: hyperplane sign buckets; candidates share a bucket in any
-      table (self-join per (table, bucket)).
+      table (self-join per (table, bucket)).  Buckets holding more than
+      ``max_bucket_df`` vectors are DROPPED before the self-join (declared
+      semantics, mirroring minhash_lsh_pairs' ``max_band_df``): a
+      degenerate bucket — e.g. a large mass of near-identical embeddings
+      hashing together — is otherwise a quadratic straggler; pair volume
+      per bucket is bounded at cap².  ``max_bucket_df=0`` disables.
+      (The IVF arm bounds bucket sizes by construction — balanced k-means
+      cells ≈ n/n_centroids — and its candidate volume ≈
+      nprobe/n_centroids of quadratic, so it takes no cap.)
 
     Candidates then get the exact float64 cosine and the ≥ threshold
     filter — output ⊆ the quadratic oracle's pairs by construction, with
     recall < 1 by design (property-tested in tests/test_dedup_groups.py).
+
+    ``eager`` (default) persists + materializes the bucket/probe table
+    consumed by both self-join sides — same cache-lifetime contract as
+    ``jaccard_pairs``; ``eager=False`` only composes the plan.
     """
     from . import ann as A
 
@@ -407,8 +481,18 @@ def embedding_near_dup_ann(
             auto_p, auto_t = A.auto_lsh_params(embeddings.count())
             n_planes = n_planes or auto_p
             n_tables = n_tables or auto_t
-        bk = A.lsh_buckets(embeddings, n_planes, n_tables).persist()
-        bk.count()  # eager: both self-join sides otherwise recompute it
+        bk = A.lsh_buckets(embeddings, n_planes, n_tables)
+        if eager:
+            bk = bk.persist()
+            bk.count()  # both self-join sides otherwise recompute it
+        if max_bucket_df:
+            keep = (
+                bk.groupBy("table", "bucket")
+                .agg(F.count("*").alias("bdf"))
+                .filter(F.col("bdf") <= max_bucket_df)
+                .select("table", "bucket")
+            )
+            bk = bk.join(keep, ["table", "bucket"])
         a = bk.alias("a")
         b = bk.alias("b")
         cand = (
@@ -428,8 +512,10 @@ def embedding_near_dup_ann(
         centroids = A.ivf_fit_centroids(
             embeddings, n_centroids, sample_cap, n_hint=n
         )
-        probes = A.ivf_multi_assignments(embeddings, centroids, top=nprobe).persist()
-        probes.count()  # eager: consumed as BOTH sides of the cluster join
+        probes = A.ivf_multi_assignments(embeddings, centroids, top=nprobe)
+        if eager:
+            probes = probes.persist()
+            probes.count()  # consumed as BOTH sides of the cluster join
         primary = probes.filter(F.col("crank") == 1).select("vec_id", "cluster")
         p = probes.select(F.col("vec_id").alias("pid"), "cluster")
         q = primary.select(F.col("vec_id").alias("qid"), "cluster")
@@ -546,10 +632,23 @@ def dup_groups(
             if m is None or x < m:
                 comp_min[r] = x
         spark = edges.sparkSession
+        # doc_id/group_id carry the EDGE id type (string repo paths are as
+        # valid as longs) — hardcoding long would make the output type flip
+        # with the collect_cap path taken (round-4 advice)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        id_type = e.schema["u"].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", id_type, False),
+                StructField("group_id", id_type, False),
+                StructField("is_keeper", IntegerType(), False),
+            ]
+        )
         return spark.createDataFrame(
             [(x, comp_min[r], int(x == comp_min[r]))
              for x, r in roots.items()],
-            schema="doc_id long, group_id long, is_keeper int",
+            schema=schema,
         )
 
     lbl = (

@@ -205,6 +205,12 @@ class IndexStore:
         # (idle-executor overlap; the same shape a cluster writer uses).
         # The sequential path is kept for fail_after_units: crash
         # injection needs a deterministic unit order (resume pytest).
+        # INVARIANT: do not run a ds2s.serve query batch on this session
+        # while these threads are in flight — serve's _no_aqe guard flips
+        # the session-global spark.sql.adaptive.enabled (serialized among
+        # serve callers by serve._AQE_LOCK, but a build stage launched
+        # inside that window would run without AQE; the lexicon write
+        # relies on AQE coalescing its range partitions).
         indep: list[tuple[str, object]] = [
             # per-row sha256 invariant vs the source (BASELINE.json:15)
             (

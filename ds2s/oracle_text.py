@@ -9,7 +9,7 @@ rounding before ranking/threshold comparisons.
 
 from __future__ import annotations
 
-from .dedup import N_BANDS, N_PERM
+from .dedup import MAX_BAND_DF, N_BANDS, N_PERM
 from .textops import LANG_PROFILES, SHINGLE_K, STOPWORDS_EN
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -182,7 +182,8 @@ WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
-def sql_minhash_lsh_pairs(n_perm: int = N_PERM, n_bands: int = N_BANDS) -> str:
+def sql_minhash_lsh_pairs(n_perm: int = N_PERM, n_bands: int = N_BANDS,
+                          max_band_df: int = MAX_BAND_DF) -> str:
     rpb = n_perm // n_bands
     return f"""
 WITH {_SH_CTES},
@@ -196,10 +197,13 @@ bands AS (
   SELECT doc_id, CAST(floor(perm / {rpb}) AS INT) AS band,
          string_agg(minhash, '|' ORDER BY perm) AS band_key
   FROM sig GROUP BY doc_id, band
-)
+),
+keepb AS (SELECT band, band_key FROM bands
+          GROUP BY band, band_key HAVING count(*) <= {max_band_df}),
+bandsf AS (SELECT bands.* FROM bands JOIN keepb USING (band, band_key))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                          AND a.doc_id < b.doc_id
+FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b"""
 
 
@@ -226,11 +230,13 @@ SELECT doc_id, string_agg(lower(to_hex(nibval)), '' ORDER BY nibble) AS simhash
 FROM nibs GROUP BY doc_id ORDER BY doc_id"""
 
 
-def sql_dup_groups(n_perm: int = N_PERM, n_bands: int = N_BANDS) -> str:
+def sql_dup_groups(n_perm: int = N_PERM, n_bands: int = N_BANDS,
+                   max_band_df: int = MAX_BAND_DF) -> str:
     """Transitive closure of (MinHash-LSH pairs ∪ exact-dup star edges)
     via a recursive CTE; group_id = min doc_id of the component —
     the independent oracle for the engine's iterated hash-min
-    label-propagation (ds2s.dedup.dup_groups)."""
+    label-propagation (ds2s.dedup.dup_groups).  The LSH edge set carries
+    the same ``max_band_df`` bucket cap as sql_minhash_lsh_pairs."""
     rpb = n_perm // n_bands
     return f"""
 WITH RECURSIVE {_SH_CTES},
@@ -245,10 +251,13 @@ bands AS (
          string_agg(minhash, '|' ORDER BY perm) AS band_key
   FROM sig GROUP BY doc_id, band
 ),
+keepb AS (SELECT band, band_key FROM bands
+          GROUP BY band, band_key HAVING count(*) <= {max_band_df}),
+bandsf AS (SELECT bands.* FROM bands JOIN keepb USING (band, band_key)),
 lshp AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                            AND a.doc_id < b.doc_id
+  FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.band_key = b.band_key
+                              AND a.doc_id < b.doc_id
 ),
 exg AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS first_doc

@@ -75,6 +75,20 @@ from .invert import InvertedIndex
 from .util import round_half_up
 
 
+import threading
+
+# `spark.sql.adaptive.enabled` is SESSION-global state: the guard below is
+# safe only while one thread at a time toggles it.  Serving calls are
+# driver-sequential by design, but ds2s.manifest.write_checkpointed submits
+# its independent table writes from a thread pool — the lock serializes the
+# conf flip/restore against any concurrent _no_aqe user so a racing guard
+# can never restore the wrong previous value.  It does NOT make it safe to
+# run a serve batch concurrently with an AQE-dependent build on the same
+# session (the build stages launched inside the window would lose AQE);
+# that invariant is documented at the write_checkpointed thread-pool site.
+_AQE_LOCK = threading.Lock()
+
+
 @contextmanager
 def _no_aqe(spark):
     """Disable adaptive execution around the serving plan's EAGER driver
@@ -83,13 +97,14 @@ def _no_aqe(spark):
     stage-by-stage materialization turns each exchange into its own job
     (measured: 8 → 5 jobs and 1.96 → 1.26 s per 20-query BMW batch at
     sf0.1 with AQE off).  Build/encode pipelines keep AQE — the guard
-    restores the previous value, and serving calls are driver-sequential."""
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    restores the previous value under _AQE_LOCK (see above)."""
+    with _AQE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 _UB_MARGIN = 1.0 + 1e-9
 _OUT_SCHEMA = "qid int, rank int, doc_id long, score double"

@@ -1,0 +1,185 @@
+"""LSH bucket-skew caps (round-4 verdict item 1) + band-key path
+equivalence (item 6).
+
+The band/bucket self-joins are the one place the dedup pipeline could go
+quadratic at 100× scale: a degenerate band key (boilerplate corpora —
+thousands of near-identical docs share every band) puts the whole flood in
+ONE bucket, and the self-join on that key is c² rows in a single straggler
+task.  ``max_band_df`` / ``max_bucket_df`` drop over-cap buckets before the
+join (declared semantics, the twin of jaccard_pairs' max_shingle_df):
+
+- degenerate corpus: candidate volume must collapse from O(flood²) to only
+  the under-cap buckets' pairs;
+- normal fixture: the cap must be a NO-OP (chosen two orders of magnitude
+  above measured fixture bucket sizes) — capped ≡ uncapped, and the DuckDB
+  oracle carries the same cap so driver parity is preserved.
+
+Band-key equivalence: minhash_lsh_pairs projects band keys straight off
+the wide signature row; minhash_band_keys builds them via
+sort_array(collect_list) over long-form signatures.  Both must equal the
+oracle's string_agg(ORDER BY perm) — pinned here so future rewrites of
+either path can't drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from compare_util import assert_match, duck_run
+
+from ds2s import dedup
+from ds2s import oracle_text as OT
+from ds2s.textops import SHINGLE_K
+
+SF = "/root/testdata/sf0.001"
+
+BOILER = (
+    "license header copyright notice all rights reserved permission is "
+    "hereby granted free of charge to any person obtaining a copy"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    """40-doc boilerplate flood (identical text ⇒ identical signature ⇒
+    one band bucket of 40 in every band) + one small genuine near-dup pair
+    (docs 100/101) that must SURVIVE the cap."""
+    rows = [(i, BOILER) for i in range(40)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_band_cap_bounds_degenerate_corpus(spark, boiler_docs):
+    # uncapped: the flood is quadratic — 40·39/2 pairs from the boilerplate
+    # bucket alone, plus the planted pair
+    uncapped = dedup.minhash_lsh_pairs(boiler_docs, max_band_df=0).collect()
+    flood_uncapped = [r for r in uncapped if r["doc_a"] < 100]
+    assert len(flood_uncapped) == 40 * 39 // 2
+
+    # capped: every band bucket of the flood has 40 > 10 members and is
+    # dropped; the planted pair's buckets have 2 ≤ 10 and survive
+    capped = dedup.minhash_lsh_pairs(boiler_docs, max_band_df=10).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}
+
+
+def test_vec_bucket_cap_bounds_degenerate_embeddings(spark):
+    """50 identical embeddings hash to one bucket per table — the LSH arm
+    must drop that flood under the cap while an isolated planted pair
+    survives; uncapped the flood is quadratic."""
+    rng = np.random.default_rng(3)
+    dim = 16
+    flood_vec = rng.normal(size=dim)
+    flood_vec /= np.linalg.norm(flood_vec)
+    rows = [(i, [float(x) for x in flood_vec]) for i in range(50)]
+    pair_base = rng.normal(size=dim)
+    pair_base /= np.linalg.norm(pair_base)
+    rows.append((100, [float(x) for x in pair_base]))
+    rows.append((101, [float(x) for x in (pair_base + 0.01 * rng.normal(size=dim))]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = dedup.embedding_near_dup_ann(
+        embs, threshold=0.99, method="lsh", max_bucket_df=0
+    ).collect()
+    assert sum(1 for r in uncapped if r["vec_b"] < 100) == 50 * 49 // 2
+
+    capped = dedup.embedding_near_dup_ann(
+        embs, threshold=0.99, method="lsh", max_bucket_df=10
+    ).collect()
+    flood_capped = [r for r in capped if r["vec_b"] < 100]
+    assert flood_capped == []
+    # the 2-member bucket survives (both tables agree it's under cap)
+    assert {(r["vec_a"], r["vec_b"]) for r in capped} == {(100, 101)}
+
+
+def test_band_cap_noop_on_fixture(docs):
+    """Default cap (256) is far above fixture bucket sizes (measured max 3
+    at sf0.01 / 4 at sf0.1) — capped output ≡ uncapped on real data."""
+    capped = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, max_band_df=0).collect()
+    }
+    assert capped == uncapped
+
+
+def test_capped_oracle_parity(docs):
+    """The oracle SQL carries the SAME cap — parity must hold with a cap
+    tight enough to actually fire on the fixture (not just the no-op 256),
+    so the engine and oracle drop exactly the same buckets."""
+    assert_match(
+        dedup.minhash_lsh_pairs(docs, max_band_df=2),
+        duck_run(OT.sql_minhash_lsh_pairs(max_band_df=2), SF),
+        "minhash_lsh_pairs_cap2",
+    )
+
+
+def test_band_key_paths_equivalent(docs, spark):
+    """minhash_band_keys (sort_array over long-form signatures) ≡ the wide
+    projection inside minhash_lsh_pairs — on the fixture AND on a seeded
+    random-word corpus (shingle collisions, short docs)."""
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    rand_rows = [
+        (int(i), " ".join(rng.choice(vocab, size=int(rng.integers(0, 12)))))
+        for i in range(120)
+    ]
+    rand_docs = spark.createDataFrame(rand_rows, "doc_id long, text string")
+    for d in (docs, rand_docs):
+        wide = {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in dedup._band_table(
+                d, dedup.N_PERM, dedup.N_BANDS, SHINGLE_K
+            ).collect()
+        }
+        longform = {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in dedup.minhash_band_keys(
+                dedup.minhash_signatures(d)
+            ).collect()
+        }
+        assert wide == longform
+
+
+def test_dup_groups_string_ids(spark):
+    """Driver fast path and distributed path must agree on OUTPUT TYPE for
+    non-long doc ids (round-4 advice: the fast path hardcoded long)."""
+    edges = spark.createDataFrame(
+        [("a/x", "a/y"), ("a/y", "a/z"), ("b/1", "b/2")],
+        "doc_a string, doc_b string",
+    )
+    expected = {
+        ("a/x", "a/x", 1), ("a/y", "a/x", 0), ("a/z", "a/x", 0),
+        ("b/1", "b/1", 1), ("b/2", "b/1", 0),
+    }
+    for cap in (2_000_000, 0):
+        out = dedup.dup_groups(edges=edges, collect_cap=cap)
+        assert out.schema["doc_id"].dataType.simpleString() == "string", cap
+        assert out.schema["group_id"].dataType.simpleString() == "string", cap
+        got = {(r["doc_id"], r["group_id"], r["is_keeper"]) for r in out.collect()}
+        assert got == expected, cap
+
+
+def test_eager_false_composes_without_jobs(docs, spark):
+    """eager=False must not launch jobs or persist anything at call time
+    (round-4 advice: plan composition was eagerly executing the full
+    shingle pipeline).  Job-count proxy: the Spark UI is off, so assert
+    via the persistence catalog + that the plan still evaluates correctly."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    lazy = dedup.minhash_lsh_pairs(docs, eager=False)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    eager = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in lazy.collect()} == eager
