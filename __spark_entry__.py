@@ -230,6 +230,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_media": lambda spark, sf: multimodal.resize_media(
             multimodal.media_table(_docs(spark, sf))
         ),
+        # REAL audio-container decode: the payload is a full RIFF/WAVE
+        # file (stdlib wave, 16-bit mono PCM) whose samples round-trip to
+        # the document bytes, so the wav variants share the txt oracles —
+        # the engine path exercises a genuine decode, the oracle
+        # recomputes from text (ds2s.multimodal.wav_media_table)
+        "resize_media_wav": lambda spark, sf: multimodal.resize_media(
+            multimodal.wav_media_table(_docs(spark, sf))
+        ),
+        "byte_histogram_wav": lambda spark, sf: multimodal.byte_histogram(
+            multimodal.wav_media_table(_docs(spark, sf))
+        ),
     }
 
 
@@ -281,5 +292,10 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh_topk: approximate (recall property-tested) — rows-only
         "byte_histogram": OT.sql_byte_histogram(),
         "resize_media": OT.sql_resize_media(),
+        # wav variants: the engine decodes a real RIFF/WAVE container whose
+        # PCM samples round-trip to the document bytes — same oracles as
+        # the txt path by construction (the oracle never sees the wav)
+        "resize_media_wav": OT.sql_resize_media(),
+        "byte_histogram_wav": OT.sql_byte_histogram(),
         # frame_sample: binary payload slices — rows-only (pytest-verified)
     }

@@ -38,7 +38,14 @@ from .util import round_half_up
 
 N_BUCKETS = 16
 
-SUPPORTED_FAKE_FORMATS = ("txt",)
+# formats decode_media can actually decode: txt = raw utf-8 bytes;
+# wav = REAL RIFF/WAVE container, 16-bit mono PCM via the stdlib wave
+# module (no codec libraries needed).  jpeg/png/mp4 remain the declared
+# loud stub.
+SUPPORTED_FORMATS = ("txt", "wav")
+SUPPORTED_FAKE_FORMATS = ("txt",)  # kept: txt is a passthrough, not a codec
+
+WAV_FRAMERATE = 16000
 
 
 def media_table(documents: DataFrame, fmt: str = "txt") -> DataFrame:
@@ -57,14 +64,89 @@ def media_table(documents: DataFrame, fmt: str = "txt") -> DataFrame:
     )
 
 
-def decode_media(media: bytes, fmt: str) -> np.ndarray:
-    """Decode one payload to a sample array.
+def _pcm16_from_bytes(raw: bytes) -> bytes:
+    """utf-8 bytes → 16-bit mono PCM frames: byte b becomes sample
+    ``(b - 128) << 8`` (int16 LE).  The mapping is exactly inverted by
+    ``(sample >> 8) + 128``, so a decoded wav payload reproduces the
+    source bytes bit-for-bit — which lets the wav variants of
+    resize_media / byte_histogram share the txt operators' DuckDB oracles
+    (the oracle recomputes from ``text``; the engine round-trips through
+    a real audio container)."""
+    arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    return (((arr - 128) << 8).astype("<i2")).tobytes()
 
-    STUB for binary media formats: jpeg/png/wav/mp4 decoding needs codec
-    libraries not present in this container — raise so callers fail loudly
-    rather than silently fake.  ``txt`` payloads decode for real (bytes)."""
-    if fmt in SUPPORTED_FAKE_FORMATS:
+
+def wav_bytes(raw: bytes, framerate: int = WAV_FRAMERATE) -> bytes:
+    """One payload → a complete RIFF/WAVE file (stdlib ``wave`` writer):
+    16-bit mono PCM whose samples derive from the payload bytes
+    (``_pcm16_from_bytes``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(_pcm16_from_bytes(raw))
+    return buf.getvalue()
+
+
+def wav_media_table(documents: DataFrame,
+                    framerate: int = WAV_FRAMERATE) -> DataFrame:
+    """documents → (doc_id, media, meta) where ``media`` is a REAL WAV
+    file (RIFF header + fmt/data chunks + 16-bit mono PCM) built from the
+    document bytes — the audio-modality stand-in whose *decode* step is a
+    genuine container parse, not a passthrough.  Same schema contract as
+    ``media_table``; narrow mapInPandas (payloads never hit the driver)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                wav_bytes(t.encode("utf-8"), framerate) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "meta": [
+                        {"format": "wav", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        build,
+        schema="doc_id long, media binary, "
+        "meta struct<format:string, n_bytes:long>",
+    )
+
+
+def decode_media(media: bytes, fmt: str) -> np.ndarray:
+    """Decode one payload to a uint8 sample array.
+
+    - ``txt``: raw utf-8 bytes (passthrough).
+    - ``wav``: REAL decode — stdlib ``wave`` parses the RIFF container
+      (validating 16-bit mono PCM), and samples map back to unsigned
+      8-bit via ``(sample >> 8) + 128`` so downstream feature extractors
+      (histogram, resize) see one uniform value domain per modality.
+    - jpeg/png/mp4: still the declared loud stub — those decoders need
+      codec libraries absent from this container; raise rather than
+      silently fake."""
+    if fmt == "txt":
         return np.frombuffer(media, dtype=np.uint8)
+    if fmt == "wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(media)), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError(
+                    "decode_media(wav): expected 16-bit mono PCM, got "
+                    f"width={w.getsampwidth()} channels={w.getnchannels()}"
+                )
+            pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        return ((pcm >> 8) + 128).astype(np.uint8)
     raise NotImplementedError(
         f"decode for format {fmt!r} requires codec libraries not available "
         "in this environment (plumbing is real; wire a decoder here)"
