@@ -74,7 +74,7 @@ def cmd_build(args: argparse.Namespace) -> None:
     written = store.write_checkpointed(
         idx, source=args.corpus, codec=args.codec, n_buckets=args.buckets
     )
-    print(json.dumps({
+    stats = {
         "n_docs": idx.n_docs,
         "avg_len": round(idx.avg_len, 4),
         "n_postings": idx.n_postings,
@@ -82,10 +82,44 @@ def cmd_build(args: argparse.Namespace) -> None:
         "units_total": len(store.completed_units()),
         "wall_s": round(time.perf_counter() - t0, 2),
         "out": args.out,
-    }))
+    }
+    if args.check:
+        # decode-all equality after build, the reference build tool's
+        # --check semantics ([U] ds2i/create_freq_index.cpp): every stored
+        # block decodes back to exactly the (term_id, doc_id, tf) posting
+        # multiset the inverter produced.  A second full pass by design —
+        # opt-in verification, distributed (set difference both ways,
+        # nothing collected beyond two counts).
+        from ds2s.blocks import decode_blocks_flat
+
+        dec = decode_blocks_flat(store.load_blocks(spark)).select(
+            "term_id", "doc_id", "tf"
+        )
+        tf = idx.tf.select("term_id", "doc_id", "tf")
+        stats["check_missing"] = tf.exceptAll(dec).count()
+        stats["check_extra"] = dec.exceptAll(tf).count()
+        stats["check"] = (
+            "pass" if stats["check_missing"] == 0 == stats["check_extra"]
+            else "FAIL"
+        )
+    print(json.dumps(stats))
+    if stats.get("check") == "FAIL":
+        raise SystemExit(1)
 
 
 def cmd_query(args: argparse.Namespace) -> None:
+    """Top-k over a stored index, with the reference tool's benchmark
+    semantics (BASELINE.md §b: per-query wall time over repeated runs,
+    avg time per query, JSON-lines stats — [U] ds2i/queries.cpp +
+    util.hpp stats_line, upstream layout):
+
+    - default: ONE timed batch (the Spark-native shape — all queries in a
+      single plan) repeated ``--runs`` times, best wall reported.
+    - ``--per-query``: each query timed individually over ``--runs``
+      repetitions, one JSON stats line per query on stderr (min/avg wall).
+      One Spark job per query per run — a benchmark mode, not the
+      throughput path; the batch plan is how the engine is meant to serve.
+    """
     from ds2s.manifest import IndexStore
     from ds2s.serve import ServingIndex
     from ds2s.session import get_spark
@@ -99,19 +133,52 @@ def cmd_query(args: argparse.Namespace) -> None:
             for i, term in enumerate(line.split()):
                 rows.append((qid, i, term.lower()))
     qdf = spark.createDataFrame(rows, schema="qid int, ord int, term string")
-    t0 = time.perf_counter()
-    out = sidx.topk(qdf, k=args.k, algo=args.algo).orderBy("qid", "rank").collect()
-    dt = time.perf_counter() - t0
     n_q = len({r[0] for r in rows}) or 1
+    runs = max(args.runs, 1)
+
+    def timed(df):
+        t0 = time.perf_counter()
+        out = df.orderBy("qid", "rank").collect()
+        return out, time.perf_counter() - t0
+
+    if args.per_query:
+        qdf = qdf.persist()
+        qdf.count()
+        out = []
+        for qid in sorted({r[0] for r in rows}):
+            one = qdf.filter(f"qid = {qid}")
+            walls = []
+            for _ in range(runs):
+                res, dt = timed(sidx.topk(one, k=args.k, algo=args.algo))
+                walls.append(dt)
+            out.extend(res)
+            print(json.dumps({
+                "query": qid,
+                "runs": runs,
+                "min_us": round(1e6 * min(walls), 1),
+                "avg_us": round(1e6 * sum(walls) / runs, 1),
+                "algo": args.algo,
+                "k": args.k,
+            }), file=sys.stderr)
+        qdf.unpersist()
+        dt = None
+    else:
+        walls = []
+        for _ in range(runs):
+            out, dt = timed(sidx.topk(qdf, k=args.k, algo=args.algo))
+            walls.append(dt)
+        dt = min(walls)
     for r in out:
         print(f"{r['qid']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.4f}")
-    print(json.dumps({
-        "n_queries": n_q,
-        "wall_s": round(dt, 3),
-        "avg_ms_per_query": round(1000 * dt / n_q, 2),
-        "algo": args.algo,
-        "k": args.k,
-    }), file=sys.stderr)
+    if dt is not None:
+        print(json.dumps({
+            "n_queries": n_q,
+            "runs": runs,
+            "wall_s": round(dt, 3),
+            "avg_ms_per_query": round(1000 * dt / n_q, 2),
+            "algo": args.algo,
+            "k": args.k,
+        }), file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -122,12 +189,21 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--out", required=True)
     b.add_argument("--codec", default=None, help="ef|uniform_pef|pef|optpfd|gvb|auto")
     b.add_argument("--buckets", type=int, default=8)
+    b.add_argument("--check", action="store_true",
+                   help="decode-all equality verification after build "
+                        "(reference --check semantics; a second full pass)")
     b.set_defaults(fn=cmd_build)
     q = sub.add_parser("query", help="top-k BM25 over a stored index")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="one query per line (terms)")
     q.add_argument("--algo", default="bmw", choices=["bmw", "maxscore", "wand"])
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--runs", type=int, default=1,
+                   help="timed repetitions (best wall reported)")
+    q.add_argument("--per-query", action="store_true",
+                   help="time each query individually; one JSON stats "
+                        "line per query on stderr (reference queries-tool "
+                        "semantics)")
     q.set_defaults(fn=cmd_query)
     args = p.parse_args(argv)
     args.fn(args)

@@ -202,9 +202,12 @@ def test_cli_build_and_query(tmp_path, spark):
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        cli.main(["build", "--corpus", corpus_path, "--out", out_dir])
+        cli.main(["build", "--corpus", corpus_path, "--out", out_dir, "--check"])
     stats = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert stats["n_docs"] == 300 and stats["units_written"] > 0
+    # --check: decode-all equality after build (reference semantics)
+    assert stats["check"] == "pass"
+    assert stats["check_missing"] == 0 == stats["check_extra"]
 
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -220,6 +223,49 @@ def test_cli_build_and_query(tmp_path, spark):
     assert len(lines) > 0
     qids = {int(l.split("\t")[0]) for l in lines}
     assert 0 in qids and 1 in qids and 2 not in qids  # unknown term → no hits
+
+
+def test_cli_query_per_query_stats(tmp_path, spark):
+    """--per-query emits one JSON stats line per query (reference
+    queries-tool semantics: per-query wall over --runs repetitions,
+    min/avg μs) and the result rows match the batch path."""
+    import io
+    import json
+    from contextlib import redirect_stderr, redirect_stdout
+
+    from ds2s import cli
+    from ds2s.corpus import synth_corpus_rows
+
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        synth_corpus_rows(),
+        schema="repo string, path string, commit string, lang string, content string",
+    ).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "cli_idx")
+    with redirect_stdout(io.StringIO()):
+        cli.main(["build", "--corpus", corpus_path, "--out", out_dir])
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("def return\nclass\n")
+
+    def run(extra):
+        so, se = io.StringIO(), io.StringIO()
+        with redirect_stdout(so), redirect_stderr(se):
+            cli.main(["query", "--index", out_dir, "--queries", str(qfile),
+                      "--k", "3", *extra])
+        rows = sorted(l for l in so.getvalue().splitlines() if "\t" in l)
+        stats = [json.loads(l) for l in se.getvalue().splitlines()
+                 if l.startswith("{")]
+        return rows, stats
+
+    batch_rows, batch_stats = run(["--runs", "2"])
+    assert batch_stats[-1]["runs"] == 2 and batch_stats[-1]["wall_s"] > 0
+
+    pq_rows, pq_stats = run(["--per-query", "--runs", "2"])
+    assert pq_rows == batch_rows  # same results either way
+    assert [s["query"] for s in pq_stats] == [0, 1]
+    for s in pq_stats:
+        assert s["runs"] == 2 and 0 < s["min_us"] <= s["avg_us"]
 
 
 def test_config_change_invalidates_resume(tmp_path, spark, synth_idx):
