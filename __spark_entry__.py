@@ -198,6 +198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "minhash_lsh_pairs": lambda spark, sf: _pairs(spark, sf),
         "simhash64": lambda spark, sf: dedup.simhash64(_docs(spark, sf)),
+        # banded SimHash pair generation + exact hamming verify — recall 1
+        # vs a quadratic scan for max_hamming ≤ n_bands-1 (pigeonhole;
+        # property-tested), same bucket-cap semantics in the oracle
+        "simhash_near_dup_pairs": lambda spark, sf: dedup.simhash_near_dup_pairs(
+            _docs(spark, sf)
+        ),
         "embedding_near_dup": lambda spark, sf: dedup.embedding_near_dup(
             _embs(spark, sf), threshold=0.5
         ),
@@ -283,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": OT.sql_jaccard_pairs(threshold=0.2),
         "minhash_lsh_pairs": OT.sql_minhash_lsh_pairs(),
         "simhash64": OT.sql_simhash64(),
+        "simhash_near_dup_pairs": OT.sql_simhash_near_dup_pairs(),
         "embedding_near_dup": OT.sql_embedding_near_dup(threshold=0.5),
         # embedding_near_dup_ann: approximate (subset-of-oracle +
         # recall property-tested) — rows-only

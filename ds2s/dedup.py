@@ -533,6 +533,115 @@ def embedding_near_dup_ann(
     return _pair_cosine(embeddings, cand).filter(F.col("cosine") >= threshold)
 
 
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_band_df: int = MAX_BAND_DF,
+    eager: bool = True,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs whose 64-bit SimHash fingerprints are
+    within ``max_hamming`` bits — the pair-generation stage that completes
+    the SimHash pipeline (``simhash64`` emits signatures; this is the
+    banded self-join + exact-verify step, SimHash's analogue of
+    minhash_lsh_pairs → jaccard_pairs in one operator).
+
+    Banding is the exact-probe scheme of Manku et al. (WWW 2007,
+    "Detecting near-duplicates for web crawling"): the fingerprint splits
+    into ``n_bands`` equal hex substrings; by pigeonhole, two fingerprints
+    within hamming ≤ n_bands − 1 agree EXACTLY on at least one band, so
+    for ``max_hamming ≤ n_bands − 1`` candidate generation has recall 1
+    w.r.t. a quadratic scan (property-tested).  Candidates then get the
+    exact bitwise hamming distance (band-int XOR + bit_count, JVM-side)
+    and the ≤ max_hamming filter.
+
+    Scale shape: one linear signature pass (simhash64's single shuffle) →
+    band explode (n_bands rows/doc) → bucket self-join on
+    (band, band_key) → hash-join verify.  Nothing quadratic; the
+    ``max_band_df`` bucket cap (same declared semantics as
+    minhash_lsh_pairs' — over-cap buckets are dropped, bounding any
+    bucket's pair volume at cap²) guards the one skew point, since a
+    boilerplate flood shares every band.  ``max_band_df=0`` disables.
+
+    ``eager`` (default) persists + materializes the banded signature
+    table — consumed by the bucket-df count, both self-join sides, and
+    the verify join.  Same cache-lifetime contract as ``jaccard_pairs``;
+    ``eager=False`` only composes the plan.  ``signatures`` optionally
+    supplies a precomputed ``simhash64`` result (e.g. shared with the
+    standalone signature query) so the corpus is tokenized once."""
+    if 16 % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide the 16 hex chars")
+    w = 16 // n_bands  # hex chars per band (4 bits each)
+    sig = signatures if signatures is not None else simhash64(documents)
+    # band ints ride beside the key: the verify join then needs no second
+    # parse of the hex string (hamming = Σ bit_count(band_a XOR band_b))
+    wide = sig.select(
+        "doc_id",
+        *[
+            F.substring("simhash", b * w + 1, w).alias(f"k{b}")
+            for b in range(n_bands)
+        ],
+        *[
+            F.conv(F.substring("simhash", b * w + 1, w), 16, 10)
+            .cast("long")
+            .alias(f"b{b}")
+            for b in range(n_bands)
+        ],
+    )
+    if eager:
+        wide = wide.persist()
+        wide.count()
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"k{b}").alias("band_key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+    if max_band_df:
+        keep = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_band_df)
+            .select("band", "band_key")
+        )
+        bands = bands.join(keep, ["band", "band_key"])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"ba{i}") for i in range(n_bands)],
+    )
+    sb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(n_bands)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"ba{i}").bitwiseXOR(F.col(f"bb{i}")))
+        for i in range(n_bands)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup group resolution (connected components over dup edges)
 # ---------------------------------------------------------------------------

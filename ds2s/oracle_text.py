@@ -207,9 +207,10 @@ FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.band_key = b.band_key
 ORDER BY doc_a, doc_b"""
 
 
-def sql_simhash64() -> str:
-    return f"""
-WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+# shared by sql_simhash64 and sql_simhash_near_dup_pairs: the (doc_id,
+# simhash) fingerprint table, semantics identical to ds2s.dedup.simhash64
+_SIMHASH_CTES = """
+tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 hh AS (SELECT doc_id, tf, substr(md5(term), 1, 16) AS h FROM tf),
 bits AS (SELECT unnest(generate_series(0, 63)) AS bit),
@@ -225,9 +226,56 @@ nibs AS (
   SELECT doc_id, CAST(floor(bit / 4) AS INT) AS nibble,
          sum(CASE WHEN s > 0 THEN (1 << (3 - bit % 4)) ELSE 0 END) AS nibval
   FROM acc GROUP BY doc_id, nibble
+),
+sim AS (
+  SELECT doc_id, string_agg(lower(to_hex(nibval)), '' ORDER BY nibble) AS simhash
+  FROM nibs GROUP BY doc_id
+)""".format(tok=_TOK)
+
+
+def sql_simhash64() -> str:
+    return f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
+
+
+def sql_simhash_near_dup_pairs(max_hamming: int = 3, n_bands: int = 4,
+                               max_band_df: int = MAX_BAND_DF) -> str:
+    """Banded SimHash near-dup pairs (ds2s.dedup.simhash_near_dup_pairs):
+    the candidate set is the banded self-join WITH the same bucket cap —
+    identical declared semantics, not a quadratic relaxation — and the
+    hamming verify is nibble-wise xor+bit_count over the hex strings."""
+    w = 16 // n_bands
+    return f"""
+WITH {_SIMHASH_CTES},
+bands AS (
+  SELECT doc_id, band, substr(simhash, band * {w} + 1, {w}) AS band_key
+  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS band)
+),
+keepb AS (SELECT band, band_key FROM bands
+          GROUP BY band, band_key HAVING count(*) <= {max_band_df}),
+bandsf AS (SELECT bands.* FROM bands JOIN keepb USING (band, band_key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.band_key = b.band_key
+                              AND a.doc_id < b.doc_id
+),
+pos AS (SELECT unnest(generate_series(1, 16)) AS i),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(bit_count(CAST(xor(
+             strpos('0123456789abcdef', substr(sa.simhash, CAST(i AS INT), 1)) - 1,
+             strpos('0123456789abcdef', substr(sb.simhash, CAST(i AS INT), 1)) - 1
+         ) AS BIGINT))) AS hamming
+  FROM cand c
+  JOIN sim sa ON sa.doc_id = c.doc_a
+  JOIN sim sb ON sb.doc_id = c.doc_b
+  CROSS JOIN pos
+  GROUP BY c.doc_a, c.doc_b
 )
-SELECT doc_id, string_agg(lower(to_hex(nibval)), '' ORDER BY nibble) AS simhash
-FROM nibs GROUP BY doc_id ORDER BY doc_id"""
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= {max_hamming}
+ORDER BY doc_a, doc_b"""
 
 
 def sql_dup_groups(n_perm: int = N_PERM, n_bands: int = N_BANDS,
