@@ -141,6 +141,30 @@ def sidx001(idx001):
     return ServingIndex(idx001, codec="pef")
 
 
+def test_topk_batch_job_count_bounded(spark, sidx001):
+    """The serving fixed cost is FIVE driver jobs per top-k batch (the
+    round-4 AQE-scoping win: 8 → 5), for every algorithm.  Pinned via the
+    status tracker because job count is the interference-IMMUNE serving
+    metric on a noisy shared host — a regression that splits the plan
+    into more driver jobs would otherwise hide inside wall-time noise.
+    First call is an untimed warm-up (cache materialization / python
+    worker spin-up jobs belong to no probe group)."""
+    from ds2s.query import queries_df
+
+    sc = spark.sparkContext
+    qdf = queries_df(spark)
+    sidx001.topk(qdf, k=10, algo="bmw").collect()  # warm-up
+    for algo in ("bmw", "maxscore", "wand"):
+        group = f"jobcount-{algo}"
+        sc.setJobGroup(group, "serving job-count regression probe")
+        try:
+            sidx001.topk(qdf, k=10, algo=algo).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        n = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert 0 < n <= 5, (algo, n)
+
+
 def test_block_max_from_encode_equals_builder(idx001, sidx001):
     """block_max_score emitted by the encode kernel (blocks_from_tf with
     avg_len) equals the independent relational builder (ds2s.wand) — the
