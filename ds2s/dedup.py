@@ -649,17 +649,28 @@ def simhash_near_dup_pairs(
 
 def dup_edges(documents: DataFrame, n_perm: int = N_PERM,
               n_bands: int = N_BANDS, k: int = SHINGLE_K,
-              pairs: DataFrame | None = None) -> DataFrame:
+              pairs: DataFrame | None = None,
+              simhash_pairs: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b) undirected dup-candidate edges: MinHash-LSH pairs ∪
     exact-duplicate star edges (each exact dup linked to its group's min
     doc — covers empty/shingle-less identical docs LSH cannot see).
 
     ``pairs`` optionally supplies an already-computed (ideally persisted)
     minhash_lsh_pairs result so a pipeline that also consumes the pairs
-    directly runs the MinHash signature pass once, not twice."""
+    directly runs the MinHash signature pass once, not twice.
+
+    ``simhash_pairs`` optionally unions a ``simhash_near_dup_pairs``
+    result (its (doc_a, doc_b) columns) into the edge set — the
+    complementary near-dup signal (small token-frequency perturbations
+    that n-gram Jaccard under-scores).  Opt-in so the default edge
+    semantics (and the recursive-CTE oracle) are unchanged."""
     lsh = pairs if pairs is not None else minhash_lsh_pairs(
         documents, n_perm, n_bands, k
     )
+    if simhash_pairs is not None:
+        lsh = lsh.select("doc_a", "doc_b").union(
+            simhash_pairs.select("doc_a", "doc_b")
+        )
     grp = documents.select("doc_id", F.md5("text").alias("h"))
     first = grp.groupBy("h").agg(F.min("doc_id").alias("doc_a"))
     exact = (

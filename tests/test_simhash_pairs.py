@@ -137,3 +137,37 @@ def test_signatures_reuse_path(docs):
 def test_invalid_n_bands_rejected(docs):
     with pytest.raises(ValueError, match="divide"):
         dedup.simhash_near_dup_pairs(docs, n_bands=3)
+
+
+def test_dup_edges_union_simhash(docs, spark):
+    """dup_edges(simhash_pairs=...) must be exactly the default edge set
+    ∪ the supplied SimHash pairs (distinct) — opt-in union, default
+    semantics (and the recursive-CTE oracle) untouched."""
+    sp = dedup.simhash_near_dup_pairs(docs).persist()
+    base = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.dup_edges(docs).collect()
+    }
+    merged = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dup_edges(docs, simhash_pairs=sp).collect()
+    }
+    sh = {(r["doc_a"], r["doc_b"]) for r in sp.collect()}
+    sp.unpersist()
+    assert merged == base | sh
+
+    # the complementary-signal case: SimHash is token-ORDER-invariant
+    # (tf-based) while MinHash shingles are order-sensitive — a permuted
+    # doc is hamming-0 to the original but shares no shingle band, so
+    # only the simhash_pairs union links it
+    toks = [f"tok{i}" for i in range(40)]
+    perm_docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, " ".join(reversed(toks)))],
+        "doc_id long, text string",
+    )
+    assert dedup.dup_edges(perm_docs).count() == 0
+    sh2 = dedup.simhash_near_dup_pairs(perm_docs)
+    linked = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dup_edges(perm_docs, simhash_pairs=sh2).collect()
+    }
+    assert linked == {(0, 1)}
