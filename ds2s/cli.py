@@ -119,6 +119,12 @@ def cmd_query(args: argparse.Namespace) -> None:
       repetitions, one JSON stats line per query on stderr (min/avg wall).
       One Spark job per query per run — a benchmark mode, not the
       throughput path; the batch plan is how the engine is meant to serve.
+
+    Stream note: result rows are TSV on stdout, stats are JSON objects on
+    stderr.  Under ``spark-submit`` the two arrive merged (PythonRunner
+    pipes the python app's stderr into the JVM's stdout — observed on
+    Spark 4.1, plain ``python -m ds2s.cli`` keeps them separate); they
+    stay mechanically separable by the leading ``{``.
     """
     from ds2s.manifest import IndexStore
     from ds2s.serve import ServingIndex
