@@ -214,6 +214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_ann": lambda spark, sf: dedup.embedding_near_dup_ann(
             _embs(spark, sf), threshold=0.5, method="ivf"
         ),
+        # full-probe configuration (nprobe = n_centroids): the candidate
+        # rule admits all pairs, so the SAME bucket-join + exact-cosine
+        # machinery must equal the quadratic oracle exactly — the ANN
+        # path's oracle-checked twin (recall forced to 1 by construction)
+        "embedding_near_dup_ann_full": lambda spark, sf: dedup.embedding_near_dup_ann(
+            _embs(spark, sf), threshold=0.5, method="ivf",
+            n_centroids=8, nprobe=8
+        ),
         # connected-component resolution of dup pairs (LSH ∪ exact) —
         # exact transitive closure, recursive-CTE oracle
         "dup_groups": lambda spark, sf: _groups(spark, sf),
@@ -292,7 +300,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_pairs": OT.sql_simhash_near_dup_pairs(),
         "embedding_near_dup": OT.sql_embedding_near_dup(threshold=0.5),
         # embedding_near_dup_ann: approximate (subset-of-oracle +
-        # recall property-tested) — rows-only
+        # recall property-tested) — rows-only; the _full variant probes
+        # every cell and must equal the quadratic oracle exactly
+        "embedding_near_dup_ann_full": OT.sql_embedding_near_dup(threshold=0.5),
         "dup_groups": OT.sql_dup_groups(),
         "dedup_filter": OT.sql_dedup_filter(),
         "ann_bruteforce_topk": OT.sql_ann_bruteforce_topk(),

@@ -127,6 +127,38 @@ def test_near_dup_ann_subset_and_recall(spark):
     assert recall_lsh >= 0.9, f"lsh near-dup recall {recall_lsh:.3f}"
 
 
+def test_near_dup_ann_full_probe_equals_quadratic(spark):
+    """With nprobe = n_centroids every vector probes every cell, so the
+    candidate rule (one side's primary cell ∈ the other side's probe
+    list) admits ALL pairs — the bucket-join + exact-cosine machinery
+    must then equal the quadratic oracle EXACTLY, pinning the whole ANN
+    path (assignment, self-join, float64 verify) with recall forced to 1.
+    This is the property behind the oracle-checked driver query
+    embedding_near_dup_ann_full."""
+    rng = np.random.default_rng(11)
+    dim, n = 16, 150
+    vecs = rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[50] = vecs[20] + 0.01 * rng.normal(size=dim)  # a planted pair
+    embs = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    oracle = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup.embedding_near_dup(embs, threshold=0.5).collect()
+    }
+    assert oracle  # non-vacuous
+    full = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup.embedding_near_dup_ann(
+            embs, threshold=0.5, method="ivf", n_centroids=6, nprobe=6
+        ).collect()
+    }
+    embs.unpersist()
+    assert full == oracle
+
+
 def test_dedup_filter_oracle_parity(docs):
     assert_match(
         dedup.dedup_filter(docs), duck_run(OT.sql_dedup_filter(), SF), "dedup_filter"
