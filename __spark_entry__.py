@@ -235,6 +235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate (recall property-tested vs the brute-force oracle;
         # rows-only driver check, like ann_lsh_topk)
         "ann_ivf_topk": lambda spark, sf: ann.ivf_topk(_embs(spark, sf)),
+        # full-probe twin: nprobe = n_centroids scans every cell, so the
+        # IVF assignment + candidate-join + exact-cosine-topk machinery
+        # must equal brute force exactly (oracle-checked)
+        "ann_ivf_topk_full": lambda spark, sf: ann.ivf_topk(
+            _embs(spark, sf), n_centroids=8, nprobe=8
+        ),
         "byte_histogram": lambda spark, sf: multimodal.byte_histogram(
             multimodal.media_table(_docs(spark, sf))
         ),
@@ -306,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_groups": OT.sql_dup_groups(),
         "dedup_filter": OT.sql_dedup_filter(),
         "ann_bruteforce_topk": OT.sql_ann_bruteforce_topk(),
+        # full-probe IVF scans every cell ⇒ must equal brute force exactly
+        "ann_ivf_topk_full": OT.sql_ann_bruteforce_topk(),
         # ann_lsh_topk: approximate (recall property-tested) — rows-only
         "byte_histogram": OT.sql_byte_histogram(),
         "resize_media": OT.sql_resize_media(),

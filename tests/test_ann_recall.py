@@ -107,6 +107,27 @@ def test_ivf_recall_uniform_bounded_candidates(spark, uniform):
     assert recall >= 0.40, f"recall@10={recall:.3f} at {frac:.3%} candidates"
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, uniform):
+    """nprobe = n_centroids scans every cell, so the IVF assignment +
+    candidate-join + exact-cosine-topk machinery must equal brute force
+    EXACTLY (ranks, ids, rounded cosines) — recall forced to 1 by
+    construction.  The property behind the oracle-checked driver query
+    ann_ivf_topk_full."""
+    emb, _ = uniform
+    queries = ann.default_queries(emb)
+    truth = {
+        (r["qid"], r["rank"], r["vec_id"], r["cosine"])
+        for r in ann.bruteforce_topk(emb, queries, k=10).collect()
+    }
+    full = {
+        (r["qid"], r["rank"], r["vec_id"], r["cosine"])
+        for r in ann.ivf_topk(
+            emb, queries, k=10, n_centroids=12, nprobe=12
+        ).collect()
+    }
+    assert full == truth
+
+
 def test_ivf_clustered_recall(spark, clustered):
     """IVF on the CLUSTERED fixture (the realistic embedding regime):
     the coarse quantizer recovers the latent clusters, so recall ≥ 0.95
