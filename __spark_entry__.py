@@ -261,6 +261,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_histogram_wav": lambda spark, sf: multimodal.byte_histogram(
             multimodal.wav_media_table(_docs(spark, sf))
         ),
+        # REAL image-container decode: the payload is a complete PNG file
+        # (8-bit grayscale n×1, Sub-filtered, zlib IDAT, CRC32-verified on
+        # decode — parser implemented over stdlib zlib in ds2s.multimodal)
+        # whose pixels round-trip to the document bytes, so the png
+        # variants share the txt oracles exactly like the wav ones
+        "resize_media_png": lambda spark, sf: multimodal.resize_media(
+            multimodal.png_media_table(_docs(spark, sf))
+        ),
+        "byte_histogram_png": lambda spark, sf: multimodal.byte_histogram(
+            multimodal.png_media_table(_docs(spark, sf))
+        ),
     }
 
 
@@ -322,5 +333,10 @@ def oracle_sql() -> dict[str, str]:
         # the txt path by construction (the oracle never sees the wav)
         "resize_media_wav": OT.sql_resize_media(),
         "byte_histogram_wav": OT.sql_byte_histogram(),
+        # png variants: real PNG encode on the engine side (decode walks
+        # the container, verifies CRCs, inflates, unfilters) — pixels ≡
+        # document bytes by construction, so the txt oracles apply
+        "resize_media_png": OT.sql_resize_media(),
+        "byte_histogram_png": OT.sql_byte_histogram(),
         # frame_sample: binary payload slices — rows-only (pytest-verified)
     }

@@ -570,8 +570,15 @@ def simhash_near_dup_pairs(
     ``eager=False`` only composes the plan.  ``signatures`` optionally
     supplies a precomputed ``simhash64`` result (e.g. shared with the
     standalone signature query) so the corpus is tokenized once."""
-    if 16 % n_bands:
-        raise ValueError(f"n_bands={n_bands} must divide the 16 hex chars")
+    if 16 % n_bands or n_bands < 2:
+        # n_bands=1 would make the band 64 bits wide: F.conv's unsigned
+        # decimal string then overflows the signed-long cast (→ null
+        # hamming, silently dropped rows) — and a single band is also no
+        # banding at all (max_hamming ≤ n_bands−1 = 0 admits only exact
+        # fingerprint equality)
+        raise ValueError(
+            f"n_bands={n_bands} must divide the 16 hex chars and be ≥ 2"
+        )
     w = 16 // n_bands  # hex chars per band (4 bits each)
     sig = signatures if signatures is not None else simhash64(documents)
     # band ints ride beside the key: the verify join then needs no second

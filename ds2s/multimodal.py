@@ -2,10 +2,13 @@
 
 A 100 TB training-data pipeline carries image/audio/video as opaque
 ``binary`` columns with typed metadata and runs decode / feature-extract
-as Arrow-batched UDFs.  The image/audio codec libraries are absent in this
-sandbox, so the *decode* step for non-text formats is a clearly-marked stub
-(NotImplementedError / deterministic fake) while everything Spark-side —
-schema, batching, partitioning, UDF signatures — is real and tested.
+as Arrow-batched UDFs.  Two container formats decode for REAL with the
+stdlib alone — ``wav`` (RIFF/WAVE, 16-bit mono PCM via ``wave``) and
+``png`` (8-bit grayscale: chunk walk + CRC32 + zlib inflate + vectorized
+scanline unfiltering, implemented here) — while jpeg/mp4, whose decoders
+need codec libraries absent from this sandbox, stay a clearly-marked loud
+stub.  Everything Spark-side — schema, batching, partitioning, UDF
+signatures — is real and tested on every path.
 
 ``byte_histogram`` is a REAL feature extractor (bucketed byte histogram of
 the payload, numpy over Arrow batches) with an exact DuckDB oracle on the
@@ -40,9 +43,11 @@ N_BUCKETS = 16
 
 # formats decode_media can actually decode: txt = raw utf-8 bytes;
 # wav = REAL RIFF/WAVE container, 16-bit mono PCM via the stdlib wave
-# module (no codec libraries needed).  jpeg/png/mp4 remain the declared
-# loud stub.
-SUPPORTED_FORMATS = ("txt", "wav")
+# module; png = REAL PNG container, 8-bit grayscale, parsed and
+# unfiltered here over stdlib zlib (signature + chunk walk + CRC32
+# verification + inflate + scanline filter reversal — no codec library
+# needed).  jpeg/mp4 remain the declared loud stub.
+SUPPORTED_FORMATS = ("txt", "wav", "png")
 SUPPORTED_FAKE_FORMATS = ("txt",)  # kept: txt is a passthrough, not a codec
 
 WAV_FRAMERATE = 16000
@@ -122,6 +127,160 @@ def wav_media_table(documents: DataFrame,
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_bytes(raw: bytes) -> bytes:
+    """One payload (n ≥ 1 bytes) → a complete, spec-valid PNG file:
+    8-bit grayscale, one ``n``×1 scanline, filter type 1 (Sub), zlib IDAT,
+    CRC32 on every chunk.  Sub-filtering is the vectorized byte delta
+    (``np.diff`` with uint8 wraparound), so encode stays O(n) numpy — no
+    per-pixel Python.  The image decodes back to exactly ``raw`` (the
+    Sub reversal is a cumsum mod 256), which lets the png variants of
+    byte_histogram / resize_media share the txt operators' DuckDB oracles
+    the same way the wav path does."""
+    import struct
+    import zlib
+
+    n = len(raw)
+    if n == 0:
+        # PNG forbids 0-dimension images (IHDR width/height ≥ 1); callers
+        # (png_media_table) drop empty payloads instead — downstream
+        # operators emit no rows for empty payloads either way
+        raise ValueError("png_bytes: empty payload has no PNG representation")
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    filt = np.diff(arr, prepend=np.uint8(0))  # uint8 wraparound == mod 256
+    scanline = b"\x01" + filt.tobytes()
+    ihdr = struct.pack(">IIBBBBB", n, 1, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanline))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """REAL PNG decode over stdlib zlib: validate the signature, walk the
+    chunk stream verifying each CRC32, parse IHDR (8-bit grayscale,
+    non-interlaced only — the subset this pipeline writes), concatenate
+    IDAT segments, inflate, and reverse per-scanline filters.
+
+    Filters 0 (None), 1 (Sub) and 2 (Up) are supported; Sub reversal is a
+    vectorized cumsum mod 256 and Up reversal a vectorized add to the
+    prior reconstructed row, so decode is O(pixels) numpy with a Python
+    loop only over scanlines (our tables write height=1).  Anything the
+    subset excludes — palette/color types, bit depths ≠ 8, interlace,
+    filters 3/4 — raises rather than silently mis-decodes."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("png: truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color != 0 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError(
+                    "png: only 8-bit non-interlaced grayscale is supported "
+                    f"(depth={depth} color={color} interlace={inter})"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if width is None or not seen_iend:
+        raise ValueError("png: missing IHDR or IEND")
+    rows = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if rows.size != height * (width + 1):
+        raise ValueError("png: IDAT size does not match dimensions")
+    rows = rows.reshape(height, width + 1)
+    ftype, filt_rows = rows[:, 0], rows[:, 1:]
+    out = np.empty((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.uint8)
+    for r in range(height):
+        t = int(ftype[r])
+        if t == 0:
+            rec = filt_rows[r]
+        elif t == 1:  # Sub: recon[i] = filt[i] + recon[i-1] (bpp=1)
+            rec = (
+                np.cumsum(filt_rows[r].astype(np.int64)) % 256
+            ).astype(np.uint8)
+        elif t == 2:  # Up: recon[i] = filt[i] + prior_row[i]
+            rec = filt_rows[r] + prev  # uint8 wraparound == mod 256
+        else:
+            raise ValueError(f"png: filter type {t} not supported")
+        out[r] = rec
+        prev = rec
+    return out.reshape(-1)
+
+
+def png_media_table(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, media, meta) where ``media`` is a REAL PNG
+    file (8-bit grayscale ``n``×1, Sub-filtered, zlib-compressed, CRC'd)
+    built from the document bytes — the image-modality stand-in whose
+    decode step is a genuine container parse + unfilter, not a
+    passthrough.  Same schema contract as ``media_table``; narrow
+    mapInPandas, payloads never hit the driver.
+
+    Empty documents are dropped (PNG forbids 0-dimension images); the
+    downstream operators emit no rows for empty payloads on any path, so
+    outputs — and the shared txt oracles — are unchanged by the drop."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [png_bytes(t.encode("utf-8")) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads,
+                    "meta": [
+                        {"format": "png", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    return (
+        documents.filter(F.octet_length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(
+            build,
+            schema="doc_id long, media binary, "
+            "meta struct<format:string, n_bytes:long>",
+        )
+    )
+
+
 def decode_media(media: bytes, fmt: str) -> np.ndarray:
     """Decode one payload to a uint8 sample array.
 
@@ -130,11 +289,17 @@ def decode_media(media: bytes, fmt: str) -> np.ndarray:
       (validating 16-bit mono PCM), and samples map back to unsigned
       8-bit via ``(sample >> 8) + 128`` so downstream feature extractors
       (histogram, resize) see one uniform value domain per modality.
-    - jpeg/png/mp4: still the declared loud stub — those decoders need
-      codec libraries absent from this container; raise rather than
-      silently fake."""
+    - ``png``: REAL decode — ``_png_decode`` walks the chunk stream
+      (CRC32-verified), inflates the IDAT with stdlib zlib, and reverses
+      the scanline filters (vectorized Sub/Up), yielding the grayscale
+      pixels row-major.
+    - jpeg/mp4: still the declared loud stub — those decoders need codec
+      libraries absent from this container; raise rather than silently
+      fake."""
     if fmt == "txt":
         return np.frombuffer(media, dtype=np.uint8)
+    if fmt == "png":
+        return _png_decode(bytes(media))
     if fmt == "wav":
         import io
         import wave

@@ -72,7 +72,7 @@ def test_wav_decode_rejects_unsupported_layout():
     with pytest.raises(ValueError, match="16-bit mono"):
         M.decode_media(buf.getvalue(), "wav")
     with pytest.raises(NotImplementedError):
-        M.decode_media(b"\x89PNG", "png")
+        M.decode_media(b"\xff\xd8\xff", "jpeg")
 
 
 def test_resize_media_wav_equals_txt_path(docs):

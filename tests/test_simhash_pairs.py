@@ -137,6 +137,10 @@ def test_signatures_reuse_path(docs):
 def test_invalid_n_bands_rejected(docs):
     with pytest.raises(ValueError, match="divide"):
         dedup.simhash_near_dup_pairs(docs, n_bands=3)
+    # n_bands=1 would build a 64-bit band int that overflows the signed
+    # long conv cast (null hamming → silently dropped rows) — rejected
+    with pytest.raises(ValueError, match="≥ 2"):
+        dedup.simhash_near_dup_pairs(docs, n_bands=1)
 
 
 def test_dup_edges_union_simhash(docs, spark):
