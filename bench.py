@@ -337,14 +337,26 @@ def main() -> None:
     if os.environ.get("DS2S_BENCH_QPS8", "1") == "1" and str(cpus) != "8":
         import subprocess
 
-        out = subprocess.run(
-            [sys.executable, __file__, "--serving-child", "8"],
-            capture_output=True, text=True, timeout=1800,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-        )
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if lines:
-            qps8 = json.loads(lines[-1])
+        # the figure is best-effort: a hung or crashed child (fresh JVM on
+        # a noisy shared host) must not abort the bench after all reps ran
+        # — BENCH_LOCAL.json and the lean stdout line still have to land
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--serving-child", "8"],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode == 0 and lines:
+                qps8 = json.loads(lines[-1])
+            else:
+                print(
+                    f"serving-child failed rc={out.returncode}: "
+                    f"{out.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+        except subprocess.TimeoutExpired:
+            print("serving-child timed out after 1800s", file=sys.stderr)
 
     # shared-host interference stamp (scaling.host_probe): on a quiet box
     # the 32-proc/1-proc streaming ratio is ~1.2-1.5; it was measured at

@@ -142,9 +142,14 @@ def cmd_query(args: argparse.Namespace) -> None:
     n_q = len({r[0] for r in rows}) or 1
     runs = max(args.runs, 1)
 
-    def timed(df):
+    def timed(make_df):
+        # takes a THUNK: sidx.topk() does eager driver work (bounded plan
+        # fetches; with a driver-grid plan the kernel itself runs inside
+        # topk and returns a local relation), so evaluating it before the
+        # timer starts would exclude virtually all serving work and report
+        # microsecond "walls" for a driver-local sort over ≤k rows
         t0 = time.perf_counter()
-        out = df.orderBy("qid", "rank").collect()
+        out = make_df().orderBy("qid", "rank").collect()
         return out, time.perf_counter() - t0
 
     if args.per_query:
@@ -155,7 +160,9 @@ def cmd_query(args: argparse.Namespace) -> None:
             one = qdf.filter(f"qid = {qid}")
             walls = []
             for _ in range(runs):
-                res, dt = timed(sidx.topk(one, k=args.k, algo=args.algo))
+                res, dt = timed(
+                    lambda: sidx.topk(one, k=args.k, algo=args.algo)
+                )
                 walls.append(dt)
             out.extend(res)
             print(json.dumps({
@@ -171,7 +178,7 @@ def cmd_query(args: argparse.Namespace) -> None:
     else:
         walls = []
         for _ in range(runs):
-            out, dt = timed(sidx.topk(qdf, k=args.k, algo=args.algo))
+            out, dt = timed(lambda: sidx.topk(qdf, k=args.k, algo=args.algo))
             walls.append(dt)
         dt = min(walls)
     for r in out:

@@ -47,6 +47,23 @@ MAX_BAND_DF = 256
 MAX_VEC_BUCKET_DF = 1024
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every bucket (distinct ``keys`` value) holding more than
+    ``cap`` rows before a bucket self-join — the shared skew guard behind
+    ``max_band_df`` / ``max_bucket_df`` (declared semantics: over-cap
+    buckets leave candidate generation entirely, bounding any bucket's
+    pair volume at cap²).  The cardinality count is a partial-agg over the
+    (typically persisted) input — map-side combine, cheap — so no single
+    reducer ever sees a quadratic bucket."""
+    keep = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("bdf"))
+        .filter(F.col("bdf") <= cap)
+        .select(*keys)
+    )
+    return df.join(keep, keys)
+
+
 def exact_dup_groups(documents: DataFrame) -> DataFrame:
     """(content_md5, n_dups, first_doc) for every group of ≥2 identical
     documents; ``first_doc`` is the canonical keeper (min doc_id)."""
@@ -245,16 +262,7 @@ def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
         bands = bands.persist()
         bands.count()
     if max_band_df:
-        # bucket cardinality is a partial-agg count over the persisted band
-        # table (map-side combine — cheap); only under-cap keys reach the
-        # self-join, so no single reducer ever sees a quadratic bucket
-        keep = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("bdf"))
-            .filter(F.col("bdf") <= max_band_df)
-            .select("band", "band_key")
-        )
-        bands = bands.join(keep, ["band", "band_key"])
+        bands = _cap_buckets(bands, ["band", "band_key"], max_band_df)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -486,13 +494,7 @@ def embedding_near_dup_ann(
             bk = bk.persist()
             bk.count()  # both self-join sides otherwise recompute it
         if max_bucket_df:
-            keep = (
-                bk.groupBy("table", "bucket")
-                .agg(F.count("*").alias("bdf"))
-                .filter(F.col("bdf") <= max_bucket_df)
-                .select("table", "bucket")
-            )
-            bk = bk.join(keep, ["table", "bucket"])
+            bk = _cap_buckets(bk, ["table", "bucket"], max_bucket_df)
         a = bk.alias("a")
         b = bk.alias("b")
         cand = (
@@ -613,13 +615,7 @@ def simhash_near_dup_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_key")
     if max_band_df:
-        keep = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("bdf"))
-            .filter(F.col("bdf") <= max_band_df)
-            .select("band", "band_key")
-        )
-        bands = bands.join(keep, ["band", "band_key"])
+        bands = _cap_buckets(bands, ["band", "band_key"], max_band_df)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

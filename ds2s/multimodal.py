@@ -41,14 +41,13 @@ from .util import round_half_up
 
 N_BUCKETS = 16
 
-# formats decode_media can actually decode: txt = raw utf-8 bytes;
-# wav = REAL RIFF/WAVE container, 16-bit mono PCM via the stdlib wave
-# module; png = REAL PNG container, 8-bit grayscale, parsed and
-# unfiltered here over stdlib zlib (signature + chunk walk + CRC32
-# verification + inflate + scanline filter reversal — no codec library
-# needed).  jpeg/mp4 remain the declared loud stub.
+# formats decode_media can actually decode (it raises on anything else):
+# txt = raw utf-8 bytes; wav = REAL RIFF/WAVE container, 16-bit mono PCM
+# via the stdlib wave module; png = REAL PNG container, 8-bit grayscale,
+# parsed and unfiltered here over stdlib zlib (signature + chunk walk +
+# CRC32 verification + inflate + scanline filter reversal — no codec
+# library needed).  jpeg/mp4 remain the declared loud stub.
 SUPPORTED_FORMATS = ("txt", "wav", "png")
-SUPPORTED_FAKE_FORMATS = ("txt",)  # kept: txt is a passthrough, not a codec
 
 WAV_FRAMERATE = 16000
 
@@ -314,7 +313,8 @@ def decode_media(media: bytes, fmt: str) -> np.ndarray:
         return ((pcm >> 8) + 128).astype(np.uint8)
     raise NotImplementedError(
         f"decode for format {fmt!r} requires codec libraries not available "
-        "in this environment (plumbing is real; wire a decoder here)"
+        f"in this environment (supported: {SUPPORTED_FORMATS}; plumbing is "
+        "real — wire a decoder here)"
     )
 
 

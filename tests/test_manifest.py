@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import time
+
 import pandas as pd
 import pytest
 
@@ -266,6 +268,29 @@ def test_cli_query_per_query_stats(tmp_path, spark):
     assert [s["query"] for s in pq_stats] == [0, 1]
     for s in pq_stats:
         assert s["runs"] == 2 and 0 < s["min_us"] <= s["avg_us"]
+
+    # TRAP (round-5 review): the timed window must contain the topk()
+    # CALL, not just the collect of its result — topk does eager driver
+    # work (plan fetches; on the driver-grid tier the kernel itself runs
+    # inside it), so timing only the downstream orderBy+collect would
+    # report near-zero "walls".  A topk that stalls 150 ms must show up
+    # in every reported figure.
+    from ds2s.serve import ServingIndex
+
+    real_topk = ServingIndex.topk
+
+    def slow_topk(self, *a, **kw):
+        time.sleep(0.15)
+        return real_topk(self, *a, **kw)
+
+    ServingIndex.topk = slow_topk
+    try:
+        _, slow_stats = run(["--per-query", "--runs", "1"])
+        assert all(s["min_us"] >= 150_000 for s in slow_stats if "query" in s)
+        _, slow_batch = run(["--runs", "1"])
+        assert slow_batch[-1]["wall_s"] >= 0.15
+    finally:
+        ServingIndex.topk = real_topk
 
 
 def test_config_change_invalidates_resume(tmp_path, spark, synth_idx):
