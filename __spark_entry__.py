@@ -222,6 +222,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(spark, sf), threshold=0.5, method="ivf",
             n_centroids=8, nprobe=8
         ),
+        # LSH-arm twin of the same idea: zero hyperplanes hash every
+        # vector into ONE bucket (sign pattern of an empty plane set), so
+        # the bucket self-join + exact-cosine machinery must equal the
+        # quadratic oracle exactly (cap disabled — the single bucket IS
+        # the whole collection by construction)
+        "embedding_near_dup_ann_lsh_full": lambda spark, sf: (
+            dedup.embedding_near_dup_ann(
+                _embs(spark, sf), threshold=0.5, method="lsh",
+                n_planes=0, n_tables=1, max_bucket_df=0,
+            )
+        ),
         # connected-component resolution of dup pairs (LSH ∪ exact) —
         # exact transitive closure, recursive-CTE oracle
         "dup_groups": lambda spark, sf: _groups(spark, sf),
@@ -240,6 +251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must equal brute force exactly (oracle-checked)
         "ann_ivf_topk_full": lambda spark, sf: ann.ivf_topk(
             _embs(spark, sf), n_centroids=8, nprobe=8
+        ),
+        # zero-plane LSH probes the single all-vectors bucket, so the
+        # bucketed candidate + exact-rerank machinery must equal brute
+        # force exactly (oracle-checked)
+        "ann_lsh_topk_full": lambda spark, sf: ann.lsh_topk(
+            _embs(spark, sf), n_planes=0, n_tables=1
         ),
         "byte_histogram": lambda spark, sf: multimodal.byte_histogram(
             multimodal.media_table(_docs(spark, sf))
@@ -320,11 +337,18 @@ def oracle_sql() -> dict[str, str]:
         # recall property-tested) — rows-only; the _full variant probes
         # every cell and must equal the quadratic oracle exactly
         "embedding_near_dup_ann_full": OT.sql_embedding_near_dup(threshold=0.5),
+        # the LSH arm's full-bucket twin (0 planes → one bucket → all
+        # pairs): same quadratic oracle
+        "embedding_near_dup_ann_lsh_full": OT.sql_embedding_near_dup(
+            threshold=0.5
+        ),
         "dup_groups": OT.sql_dup_groups(),
         "dedup_filter": OT.sql_dedup_filter(),
         "ann_bruteforce_topk": OT.sql_ann_bruteforce_topk(),
         # full-probe IVF scans every cell ⇒ must equal brute force exactly
         "ann_ivf_topk_full": OT.sql_ann_bruteforce_topk(),
+        # zero-plane LSH probes the single all-vectors bucket ⇒ ditto
+        "ann_lsh_topk_full": OT.sql_ann_bruteforce_topk(),
         # ann_lsh_topk: approximate (recall property-tested) — rows-only
         "byte_histogram": OT.sql_byte_histogram(),
         "resize_media": OT.sql_resize_media(),

@@ -128,6 +128,28 @@ def test_ivf_full_probe_equals_bruteforce(spark, uniform):
     assert full == truth
 
 
+def test_lsh_zero_planes_equals_bruteforce(spark, uniform):
+    """n_planes = 0 hashes every vector to the sign pattern of an EMPTY
+    plane set — one bucket holding the whole collection — so the LSH
+    bucketed-candidate + exact-rerank machinery must equal brute force
+    EXACTLY.  The property behind the oracle-checked driver query
+    ann_lsh_topk_full (and, with max_bucket_df=0, the near-dup twin
+    embedding_near_dup_ann_lsh_full)."""
+    emb, _ = uniform
+    queries = ann.default_queries(emb)
+    truth = {
+        (r["qid"], r["rank"], r["vec_id"], r["cosine"])
+        for r in ann.bruteforce_topk(emb, queries, k=10).collect()
+    }
+    full = {
+        (r["qid"], r["rank"], r["vec_id"], r["cosine"])
+        for r in ann.lsh_topk(
+            emb, queries, k=10, n_planes=0, n_tables=1
+        ).collect()
+    }
+    assert full == truth
+
+
 def test_ivf_clustered_recall(spark, clustered):
     """IVF on the CLUSTERED fixture (the realistic embedding regime):
     the coarse quantizer recovers the latent clusters, so recall ≥ 0.95
