@@ -105,6 +105,11 @@ def main() -> None:
             "quadratic oracle baseline — driver-verified at sf0.01; "
             "the timed scale path is embedding_near_dup_ann"
         ),
+        "embedding_near_dup_ann_lsh_full": (
+            "zero-plane machinery twin: one bucket = all pairs, quadratic "
+            "by construction — driver-verified at sf0.01; the timed scale "
+            "path is embedding_near_dup_ann"
+        ),
     }
     runs: list[dict[str, float]] = []
     for rep in range(reps):
