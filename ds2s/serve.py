@@ -507,9 +507,19 @@ class ServingIndex:
             if "config" in meta else DEFAULT_CONFIG
         )
         # Older stores predate the superblock table: derive it from blocks.
-        # Only the MISSING case falls back — a present-but-unreadable table
-        # (I/O error, schema drift) must propagate, not be silently rebuilt.
-        if (store.root / "superblocks").exists():
+        # Completeness is the MANIFEST's verdict, not the directory's
+        # (round-5 review): a writer that crashed mid-superblocks-write can
+        # leave a partially-committed parquet dir visible (task-commit
+        # committers) with no manifest line — loading it would silently
+        # drop terms from superblock pre-pruning and corrupt top-k.  No
+        # manifest line ⇒ the unit was never completed ⇒ derive from
+        # blocks, exactly the resume protocol's reading.  A table that IS
+        # manifest-complete but unreadable (I/O error, schema drift) still
+        # propagates, not silently rebuilt.
+        if (
+            "superblocks" in store.completed_units()
+            and (store.root / "superblocks").exists()
+        ):
             superblocks = store.load_table(spark, "superblocks")
         else:
             superblocks = None
@@ -682,10 +692,16 @@ class ServingIndex:
         cur = self._resolve_cursors(qdf)
         if not cur:
             self.last_plan = {"est_blocks": 0, "n_qids": 0}
-            empty = self.blocks.limit(0).withColumn("qid", F.lit(0))
-            for c in ("w", "idf", "max_score", "theta0"):
-                empty = empty.withColumn(c, F.lit(0.0))
-            return empty
+            # Mirror the populated path's exact projection + join so the
+            # all-out-of-vocabulary edge case has the SAME schema (column
+            # set, order, types) as every other batch — a store-loaded
+            # blocks table carries extra partition columns (e.g. bucket)
+            # that must not leak out only on the empty branch.
+            empty_keys = spark.createDataFrame([], schema=_SURV_SCHEMA)
+            return self.blocks.limit(0).select(
+                "term_id", "block_id", "n", "first_doc", "last_doc",
+                "doc_bytes", "tf_bytes", "len_bytes", "block_max_score",
+            ).join(F.broadcast(empty_keys), ["term_id", "block_id"])
         bs = int(self.cfg.block_size)
         quantum = 10.0 ** (-rank_round) if rank_round is not None else 0.0
         seed_df = self._seed_df(cur)
@@ -835,7 +851,11 @@ class ServingIndex:
                 columns=["qid", "term_id", "block_id", "w", "idf",
                          "max_score", "theta0"],
             ).astype({"qid": "int32", "term_id": "int32", "block_id": "int32"})
-            surv_keys = spark.createDataFrame(spdf, schema=_SURV_SCHEMA)
+            # driver/superblock tiers: surv_keys is a LOCAL relation
+            # bounded by plan_collect_cap — broadcast is the right join
+            surv_keys = F.broadcast(
+                spark.createDataFrame(spdf, schema=_SURV_SCHEMA)
+            )
         else:
             sbk_df = spark.createDataFrame(
                 fallback_sbk,
@@ -851,13 +871,19 @@ class ServingIndex:
                         "last_doc", "block_max_score")
                 .join(F.broadcast(sbk_df), ["term_id", "sb_id"])
             )
+            # huge tier: the plan kernel's survivor-key set is UNBOUNDED
+            # by design (est2 > plan_collect_cap) — broadcasting it would
+            # collect it through the driver, the exact state this tier
+            # exists to avoid (round-5 review).  Leave the join strategy
+            # to Catalyst/AQE: a shuffle join keys both sides on
+            # (term_id, block_id) and the driver never sees the keys.
             surv_keys = bmeta.groupBy("qid").applyInPandas(
                 _make_plan_kernel(), schema=_SURV_SCHEMA
             )
         return self.blocks.select(
             "term_id", "block_id", "n", "first_doc", "last_doc",
             "doc_bytes", "tf_bytes", "len_bytes", "block_max_score",
-        ).join(F.broadcast(surv_keys), ["term_id", "block_id"])
+        ).join(surv_keys, ["term_id", "block_id"])
 
     @staticmethod
     def _meta_arrays(meta: pd.DataFrame, with_sb: bool = False) -> dict:
@@ -895,7 +921,16 @@ class ServingIndex:
         kernel = _make_kernel(k, algo, self.cfg.scorer, self.avg_len, rank_round)
         out = surv.groupBy("qid").applyInPandas(kernel, schema=_OUT_SCHEMA)
         n_qids = int(self.last_plan.get("n_qids", 0))
-        if n_qids * k <= self.plan_collect_cap:
+        # eager-collect only when the PLAN was driver-bounded too: in the
+        # kernel tier the pipeline upstream of the ≤ n_qids×k result is a
+        # large shuffling job — running it under the no-AQE guard would
+        # drop AQE's skew mitigation on exactly the hot-term batches the
+        # tier exists for, and hold _AQE_LOCK for the job's full duration
+        # (round-5 review).  Those batches return the lazy plan instead.
+        if (
+            n_qids * k <= self.plan_collect_cap
+            and self.last_plan.get("tier") != "kernel"
+        ):
             spark = qdf.sparkSession
             with _no_aqe(spark):
                 pdf = out.toPandas()

@@ -323,3 +323,86 @@ def test_sha256_detects_tamper(tmp_path, spark, synth_idx):
         F.when(F.col("doc_id") == 3, F.lit("EVIL")).otherwise(F.col("content")),
     )
     assert store.verify_sha256(tampered) == 1
+
+
+def test_partial_superblocks_table_ignored(tmp_path, spark, synth_idx):
+    """A superblocks parquet dir that is VISIBLE on disk but has no
+    manifest line (writer crashed mid-write; task-commit committers leave
+    partial files) must be ignored by from_store — completeness is the
+    manifest's verdict, not the directory's.  Loading the partial table
+    would silently drop terms from superblock pre-pruning and corrupt
+    top-k (round-5 review finding)."""
+    import json
+
+    from ds2s import query as Q
+    from ds2s.serve import ServingIndex
+
+    store = IndexStore(str(tmp_path / "sidx_partial"))
+    store.write_checkpointed(synth_idx, source="synth", n_buckets=2)
+
+    # Simulate the crash: cripple the on-disk superblocks table to a
+    # single term and erase its manifest line (the files stay visible).
+    full = spark.read.parquet(str(store.root / "superblocks"))
+    one_term = full.limit(1).toPandas()
+    import shutil
+
+    shutil.rmtree(store.root / "superblocks")
+    spark.createDataFrame(one_term, schema=full.schema).write.parquet(
+        str(store.root / "superblocks")
+    )
+    kept = [
+        json.loads(l)
+        for l in store.manifest_path.read_text().splitlines()
+        if l.strip() and json.loads(l)["unit"] != "superblocks"
+    ]
+    store.manifest_path.write_text(
+        "".join(json.dumps(r) + "\n" for r in kept)
+    )
+
+    sidx = ServingIndex.from_store(spark, store)
+    qdf = Q.queries_df(
+        spark,
+        rows=[(0, 0, "def"), (0, 1, "return"), (1, 0, "class")],
+    )
+    exact = (
+        Q.ranked_or_topk(synth_idx, qdf, k=5)
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    got = (
+        sidx.topk(qdf, k=5, algo="bmw")
+        .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"qid": "int64", "rank": "int64"}),
+        exact.astype({"qid": "int64", "rank": "int64"}),
+        check_exact=False,
+        atol=1e-8,
+    )
+
+
+def test_oov_batch_schema_matches_populated(tmp_path, spark, synth_idx):
+    """survivor_blocks on an all-out-of-vocabulary batch must return the
+    SAME schema (names, order, types) as a populated batch — including on
+    a store-loaded index whose raw blocks table carries the bucket
+    partition column (round-5 review finding: the empty branch used to
+    leak raw columns)."""
+    from ds2s import query as Q
+    from ds2s.serve import ServingIndex
+
+    store = IndexStore(str(tmp_path / "sidx_oov"))
+    store.write_checkpointed(synth_idx, source="synth", n_buckets=2)
+    sidx = ServingIndex.from_store(spark, store)
+
+    oov = sidx.survivor_blocks(
+        Q.queries_df(spark, rows=[(0, 0, "zzz_not_a_term")])
+    )
+    pop = sidx.survivor_blocks(
+        Q.queries_df(spark, rows=[(0, 0, "def"), (0, 1, "return")])
+    )
+    assert [(f.name, f.dataType) for f in oov.schema.fields] == [
+        (f.name, f.dataType) for f in pop.schema.fields
+    ]
+    assert "bucket" not in oov.columns
+    # unions across batches (the metric-surface contract) must work
+    assert oov.unionByName(pop).count() == pop.count()
+    assert oov.count() == 0
