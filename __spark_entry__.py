@@ -164,9 +164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .orderBy("term_id", "block_id"),
         # --- compressed block table + pruned serving (ds2s.blocks / .serve) ---
+        # pos is int64 in the engine (lists past 2^31 postings must not
+        # wrap); cast to int here only to match the oracle's INT column at
+        # sf0.01, where positions are tiny.
         "blocks_decode_check": lambda spark, sf: decode_blocks_flat(
             _sindex(spark, sf).blocks
-        ).orderBy("term_id", "pos"),
+        ).withColumn("pos", F.col("pos").cast("int")).orderBy("term_id", "pos"),
         "bmw_topk": lambda spark, sf: _sindex(spark, sf).topk(
             Q.queries_df(spark), k=DEFAULT_K, algo="bmw"
         ),

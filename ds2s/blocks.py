@@ -33,7 +33,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .codecs import decode_docs, decode_tfs, encode_docs, encode_tfs
@@ -510,29 +510,48 @@ def decode_blocks_flat(blocks: DataFrame) -> DataFrame:
     analogue ([U] ds2i/create_freq_index.cpp --check).  ``pos`` is the
     in-list position across blocks — exact inverse of the encode, so this
     must equal the postings_arrays view bit-for-bit.
+
+    Each block's start offset comes from a running-sum window over the
+    block-count column, then every block decodes independently in a
+    narrow mapInPandas — no whole-posting-list group ever materializes
+    in one task (a 1e9-posting hot term stays spill-safe in the window
+    sort and batch-bounded in the decode), and ``pos`` is int64 so lists
+    past 2^31 postings cannot silently wrap (round-5 review finding).
     """
+    w = (
+        Window.partitionBy("term_id")
+        .orderBy("block_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = blocks.select(
+        "term_id", "block_id", "n", "doc_bytes", "tf_bytes"
+    ).withColumn("start", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"))
 
-    def dec(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("block_id")
-        docs_all, tfs_all = [], []
-        for db, tb in zip(pdf["doc_bytes"], pdf["tf_bytes"]):
-            d, _ = decode_docs(bytes(db))
-            t, _ = decode_tfs(bytes(tb))
-            docs_all.append(d)
-            tfs_all.append(t)
-        docs = np.concatenate(docs_all) if docs_all else np.zeros(0, np.uint64)
-        tfs = np.concatenate(tfs_all) if tfs_all else np.zeros(0, np.uint64)
-        return pd.DataFrame(
-            {
-                "term_id": np.full(len(docs), key[0], dtype=np.int32),
-                "pos": np.arange(len(docs), dtype=np.int32),
-                "doc_id": docs.astype(np.int64),
-                "tf": tfs.astype(np.int32),
-            }
-        )
+    def dec(batches):
+        for pdf in batches:
+            tids, poss, docs_o, tfs_o = [], [], [], []
+            for tid, start, db, tb in zip(
+                pdf["term_id"], pdf["start"], pdf["doc_bytes"], pdf["tf_bytes"]
+            ):
+                d, _ = decode_docs(bytes(db))
+                t, _ = decode_tfs(bytes(tb))
+                tids.append(np.full(len(d), tid, dtype=np.int32))
+                poss.append(int(start) + np.arange(len(d), dtype=np.int64))
+                docs_o.append(d.astype(np.int64))
+                tfs_o.append(t.astype(np.int32))
+            if not tids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term_id": np.concatenate(tids),
+                    "pos": np.concatenate(poss),
+                    "doc_id": np.concatenate(docs_o),
+                    "tf": np.concatenate(tfs_o),
+                }
+            )
 
-    return blocks.groupBy("term_id").applyInPandas(
-        dec, schema="term_id int, pos int, doc_id long, tf int"
+    return staged.mapInPandas(
+        dec, schema="term_id int, pos long, doc_id long, tf int"
     )
 
 

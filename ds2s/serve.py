@@ -142,6 +142,28 @@ def _interval_grid(per_term):
     return points, ub
 
 
+def _surv_psurv(ub, theta):
+    """Survivor mask over grid intervals (UB ≥ θ; everything survives at
+    θ=0) plus its prefix-sum — the overlap-count primitive."""
+    surv = ub >= theta if theta > 0.0 else np.ones(len(ub), dtype=bool)
+    return surv, np.concatenate(([0], np.cumsum(surv)))
+
+
+def _spans(points, firsts, lasts):
+    """Doc ranges [firsts, lasts] → grid-interval index spans [lo, hi].
+    The side="right"-1 convention is THE shared contract between
+    plan-time and kernel-time pruning — one implementation so a boundary
+    fix can never desync the two (round-5 review finding)."""
+    lo = np.searchsorted(points, firsts, side="right") - 1
+    hi = np.searchsorted(points, lasts, side="right") - 1
+    return lo, hi
+
+
+def _overlap_take(psurv, lo, hi):
+    """True where span [lo, hi] overlaps at least one surviving interval."""
+    return (psurv[hi + 1] - psurv[lo]) > 0
+
+
 def _grid_survivors(per_term, theta0):
     """Exact interval-grid pruning over metadata arrays.
 
@@ -150,13 +172,11 @@ def _grid_survivors(per_term, theta0):
     interval arrays — an entry survives iff it overlaps a surviving
     interval)."""
     points, ub_sum = _interval_grid(per_term)
-    surv = ub_sum >= theta0 if theta0 > 0.0 else np.ones(len(points), bool)
-    psurv = np.concatenate(([0], np.cumsum(surv)))
+    surv, psurv = _surv_psurv(ub_sum, theta0)
     takes = []
     for t in per_term:
-        lo = np.searchsorted(points, t["firsts"], side="right") - 1
-        hi = np.searchsorted(points, t["lasts"], side="right") - 1
-        takes.append((psurv[hi + 1] - psurv[lo]) > 0)
+        lo, hi = _spans(points, t["firsts"], t["lasts"])
+        takes.append(_overlap_take(psurv, lo, hi))
     return points, surv, takes
 
 
@@ -166,17 +186,14 @@ def _sweep_topk(per_term, k, theta0, avg, scorer, rank_round):
     per_term entries: {firsts, lasts, ubs (pruning intervals), block_first,
     block_last, payloads [(doc_bytes, tf_bytes, len_bytes)], idf, w}."""
     points, ub = _interval_grid(per_term)
-    surv = ub >= theta0 if theta0 > 0.0 else np.ones(len(points), dtype=bool)
-    psurv = np.concatenate(([0], np.cumsum(surv)))
+    surv, psurv = _surv_psurv(ub, theta0)
 
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
     k1, b = scorer.k1, scorer.b
     for t in per_term:
-        bf, bl = t["block_first"], t["block_last"]
-        lo = np.searchsorted(points, bf, side="right") - 1
-        hi = np.searchsorted(points, bl, side="right") - 1
-        take = (psurv[hi + 1] - psurv[lo]) > 0
+        lo, hi = _spans(points, t["block_first"], t["block_last"])
+        take = _overlap_take(psurv, lo, hi)
         if not take.any():
             continue
         for i in np.flatnonzero(take):
@@ -225,11 +242,7 @@ def _wand_topk(per_term, k, theta0, avg, scorer, rank_round):
     quantum = 10.0 ** (-rank_round) if rank_round is not None else 0.0
 
     # per-term block → interval-index spans, computed once
-    spans = []
-    for t in per_term:
-        lo = np.searchsorted(points, t["block_first"], side="right") - 1
-        hi = np.searchsorted(points, t["block_last"], side="right") - 1
-        spans.append((lo, hi))
+    spans = [_spans(points, t["block_first"], t["block_last"]) for t in per_term]
 
     theta = theta0
     best_docs = np.zeros(0, dtype=np.int64)
@@ -240,11 +253,10 @@ def _wand_topk(per_term, k, theta0, avg, scorer, rank_round):
     while i0 < n_int:
         j = min(i0 + chunk, n_int)
         chunk = min(chunk * 2, 4096)
-        live = ub[i0:j] >= theta if theta > 0.0 else np.ones(j - i0, bool)
+        live, pl = _surv_psurv(ub[i0:j], theta)
         if not live.any():
             i0 = j
             continue
-        pl = np.concatenate(([0], np.cumsum(live)))
         lo_doc = points[i0]
         hi_doc = points[j] - 1 if j < n_int else np.iinfo(np.int64).max
 
@@ -490,6 +502,19 @@ class ServingIndex:
             )
         self.superblocks = superblocks.persist()
 
+    def unpersist(self) -> None:
+        """Release the three cached serving tables (blocks, wand,
+        superblocks).  Without this, every ServingIndex constructed on a
+        session — rebuilds with other codecs, from_store twins, per-sf
+        instances — pins its block cache (the largest table in the
+        system) in executor storage for the session lifetime (round-5
+        review finding).  Idempotent; the index is unusable afterwards."""
+        for df in (self.blocks, self.wand, self.superblocks):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # already released / session gone
+
     @classmethod
     def from_store(cls, spark, store, cfg: IndexConfig | None = None,
                    seed_max_blocks: int = 64, sb_size: int = 128,
@@ -577,6 +602,21 @@ class ServingIndex:
             cur.append((qid, tid, float(w), df, idf))
         return cur
 
+    @staticmethod
+    def _rarest_by_qid(cur: list[tuple]) -> dict[int, tuple]:
+        """qid → (tid, df) of the qid's rarest term, tie-break (df, tid)
+        ASC.  The ONE source of truth for both the seed fetch and the θ₀
+        computation: if the two ever disagreed on which term is rarest,
+        ``raw_by_tid.get(tid)`` would miss and θ₀ would silently fall back
+        to 0.0 — pruning off, near-exhaustive serving, no error (round-5
+        review finding)."""
+        rarest: dict[int, tuple] = {}
+        for qid, tid, w, df, idf in cur:
+            best = rarest.get(qid)
+            if best is None or (df, tid) < (best[1], best[0]):
+                rarest[qid] = (tid, df)
+        return rarest
+
     def _seed_df(self, cur: list[tuple]) -> DataFrame:
         """The θ₀ seed rows: each qid's rarest term's top-
         ``seed_max_blocks`` blocks, selected RELATIONALLY (window over
@@ -586,11 +626,7 @@ class ServingIndex:
         union with a metadata fetch into ONE driver job."""
         from pyspark.sql import Window
 
-        rarest: dict[int, tuple] = {}
-        for qid, tid, w, df, idf in cur:
-            best = rarest.get(qid)
-            if best is None or (df, tid) < (best[1], best[0]):
-                rarest[qid] = (tid, df)
+        rarest = self._rarest_by_qid(cur)
         seed_tids = sorted({tid for tid, _ in rarest.values()})
         wr = Window.partitionBy("term_id").orderBy(
             F.desc("block_max_score"), F.asc("block_id")
@@ -610,11 +646,7 @@ class ServingIndex:
                           k: int, quantum: float) -> dict[int, float]:
         """θ₀ per qid from already-collected seed rows (driver numpy over
         ≤ seed-terms × cap blocks)."""
-        rarest: dict[int, tuple] = {}
-        for qid, tid, w, df, idf in cur:
-            best = rarest.get(qid)
-            if best is None or (df, tid) < (best[1], best[0]):
-                rarest[qid] = (tid, df)
+        rarest = self._rarest_by_qid(cur)
         k1, b = self.cfg.scorer.k1, self.cfg.scorer.b
         raw_by_tid: dict[int, list] = {}
         for tid_v, tb, lb in zip(
