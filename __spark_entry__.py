@@ -221,9 +221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rule admits all pairs, so the SAME bucket-join + exact-cosine
         # machinery must equal the quadratic oracle exactly — the ANN
         # path's oracle-checked twin (recall forced to 1 by construction)
+        # full probe (nprobe = n_centroids) makes every cell hold the
+        # whole collection by construction — disable the skew cap so the
+        # machinery is compared against the quadratic oracle verbatim
         "embedding_near_dup_ann_full": lambda spark, sf: dedup.embedding_near_dup_ann(
             _embs(spark, sf), threshold=0.5, method="ivf",
-            n_centroids=8, nprobe=8
+            n_centroids=8, nprobe=8, max_bucket_df=0,
         ),
         # LSH-arm twin of the same idea: zero hyperplanes hash every
         # vector into ONE bucket (sign pattern of an empty plane set), so

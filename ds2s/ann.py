@@ -299,16 +299,27 @@ def _kmeans_fit(X: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     C = Xn[idxs].copy()
     for _ in range(iters):
         assign = np.argmax(Xn @ C.T, axis=1)
+        empties = []
         for c in range(k):
             members = Xn[assign == c]
             if len(members) == 0:
-                # deterministic re-seed: the point farthest from its centroid
-                sims = (Xn * C[assign]).sum(axis=1)
-                C[c] = Xn[int(np.argmin(sims))]
+                empties.append(c)
                 continue
             m = members.sum(axis=0)
             n = np.linalg.norm(m)
             C[c] = m / (n if n > 0 else 1.0)
+        if empties:
+            # deterministic re-seed with DISTINCT points: farthest-from-
+            # own-centroid order, one index per empty cluster.  Reseeding
+            # each empty cluster independently against the stale assign
+            # used to hand several empty clusters the SAME point —
+            # duplicate centroid rows, shrunken effective cell count,
+            # nprobe budget spent on identical cells (round-5 review
+            # finding).
+            sims = (Xn * C[assign]).sum(axis=1)
+            order = np.argsort(sims, kind="stable")
+            for c, p in zip(empties, order):
+                C[c] = Xn[int(p)]
     return C
 
 

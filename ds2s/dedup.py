@@ -30,6 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ann import _as_double
 from .textops import SHINGLE_K, shingles_col, _toks
 
 N_PERM = 16  # minhash permutations
@@ -385,13 +386,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
 
     Brute-force O(n²) — the oracle baseline; ds2s.ann.lsh_topk is the
     bucketed scale path whose candidates this verifies."""
-    v = embeddings.select(
-        F.col("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
+    v = _as_double(embeddings)  # one shared float64 projection (ds2s.ann)
     a = v.alias("a")
     b = v.alias("b")
     dot = F.aggregate(
@@ -414,13 +409,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
 def _pair_cosine(embeddings: DataFrame, cand: DataFrame) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs → exact float64 cosine, the same
     JVM-side dot product + 6-decimal rounding as the quadratic oracle."""
-    v = embeddings.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
+    v = _as_double(embeddings)  # one shared float64 projection (ds2s.ann)
     a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
@@ -470,9 +459,13 @@ def embedding_near_dup_ann(
       degenerate bucket — e.g. a large mass of near-identical embeddings
       hashing together — is otherwise a quadratic straggler; pair volume
       per bucket is bounded at cap².  ``max_bucket_df=0`` disables.
-      (The IVF arm bounds bucket sizes by construction — balanced k-means
-      cells ≈ n/n_centroids — and its candidate volume ≈
-      nprobe/n_centroids of quadratic, so it takes no cap.)
+
+    ``max_bucket_df`` guards BOTH arms.  IVF cells are balanced only for
+    balanced data — a near-duplicate flood (this operator's target
+    input!) lands its whole mass in ONE k-means cell, which every member
+    also probes, recreating the quadratic straggler (round-5 review
+    finding).  Over-cap cells drop out of candidate generation entirely,
+    same declared semantics as the LSH arm and minhash_lsh_pairs.
 
     Candidates then get the exact float64 cosine and the ≥ threshold
     filter — output ⊆ the quadratic oracle's pairs by construction, with
@@ -518,6 +511,11 @@ def embedding_near_dup_ann(
         if eager:
             probes = probes.persist()
             probes.count()  # consumed as BOTH sides of the cluster join
+        if max_bucket_df:
+            # cap counts PROBE rows per cell, so any cell's join volume
+            # is bounded at cap² even when a duplicate flood collapses
+            # into one cell (see docstring)
+            probes = _cap_buckets(probes, ["cluster"], max_bucket_df)
         primary = probes.filter(F.col("crank") == 1).select("vec_id", "cluster")
         p = probes.select(F.col("vec_id").alias("pid"), "cluster")
         q = primary.select(F.col("vec_id").alias("qid"), "cluster")
@@ -580,6 +578,16 @@ def simhash_near_dup_pairs(
         # fingerprint equality)
         raise ValueError(
             f"n_bands={n_bands} must divide the 16 hex chars and be ≥ 2"
+        )
+    if max_hamming > n_bands - 1:
+        # the pigeonhole recall-1 guarantee (docstring) only covers
+        # hamming ≤ n_bands − 1: beyond it, pairs differing in every band
+        # are silently missed — loud error, not quiet recall loss
+        # (round-5 review finding)
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds n_bands-1={n_bands - 1}: "
+            "banded candidate generation would silently miss pairs; "
+            "raise n_bands or lower max_hamming"
         )
     w = 16 // n_bands  # hex chars per band (4 bits each)
     sig = signatures if signatures is not None else simhash64(documents)
@@ -670,10 +678,14 @@ def dup_edges(documents: DataFrame, n_perm: int = N_PERM,
     lsh = pairs if pairs is not None else minhash_lsh_pairs(
         documents, n_perm, n_bands, k
     )
+    # normalize BY NAME before any union: natural caller inputs
+    # (jaccard_pairs, simhash_near_dup_pairs) carry a third score column,
+    # and union is positional — without the select a 3-column pairs frame
+    # throws, and a (doc_b, doc_a)-ordered one would union silently
+    # mislabeled (round-5 review finding)
+    lsh = lsh.select("doc_a", "doc_b")
     if simhash_pairs is not None:
-        lsh = lsh.select("doc_a", "doc_b").union(
-            simhash_pairs.select("doc_a", "doc_b")
-        )
+        lsh = lsh.union(simhash_pairs.select("doc_a", "doc_b"))
     grp = documents.select("doc_id", F.md5("text").alias("h"))
     first = grp.groupBy("h").agg(F.min("doc_id").alias("doc_a"))
     exact = (
@@ -818,6 +830,7 @@ def dup_groups(
         if changed == 0:
             break
     else:
+        e.unpersist()  # don't leak the cached edge table on the error path
         raise RuntimeError(
             f"dup_groups did not converge in {max_iter} rounds — "
             "pathological component diameter; raise max_iter"

@@ -323,6 +323,14 @@ def byte_histogram(media: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
 
     Long-form rows (not a fixed-width array) so the result is engine-
     comparable; empty payloads emit no rows."""
+    if not (1 <= n_buckets <= 256) or 256 % n_buckets:
+        # 256 % n_buckets != 0 would emit a bucket index == n_buckets for
+        # high bytes, and n_buckets > 256 would floor-divide by zero and
+        # silently collapse every byte into bucket 0 (round-5 review
+        # finding) — declared semantics: power-of-two-style even buckets.
+        raise ValueError(
+            f"byte_histogram: n_buckets must divide 256 (got {n_buckets})"
+        )
     width = 256 // n_buckets
 
     def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

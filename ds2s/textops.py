@@ -80,8 +80,11 @@ def token_count(documents: DataFrame) -> DataFrame:
         F.lit(0),
         lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("int"),
     )
-    ws = F.split(F.trim("text"), "\\s+")
-    n_ws = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(ws))
+    # COUNT \S+ runs rather than splitting on \s+: Spark's trim strips
+    # only spaces and split keeps boundary empty fragments, so a doc with
+    # a trailing newline/tab would count a phantom token and diverge from
+    # the declared-exact oracle (round-5 review finding)
+    n_ws = F.regexp_count(F.col("text"), F.lit("\\S+"))
     return documents.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
@@ -128,7 +131,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     return d.select(
         "doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "avg_token_len",
         F.round(q, 6).alias("quality"),
-    ).drop("n_chars")
+    )
 
 
 def _kgrams(tokens: Column, k: int) -> Column:

@@ -171,3 +171,38 @@ def test_dedup_filter_keeps_keepers_and_singletons(docs):
     non_keepers = sum(1 for r in groups if r["is_keeper"] == 0)
     kept = dedup.dedup_filter(docs).count()
     assert kept == n - non_keepers
+
+
+def test_ivf_arm_bucket_cap_bounds_duplicate_flood(spark):
+    """A near-duplicate FLOOD collapses into one k-means cell that every
+    member also probes — without a cap the cluster self-join is quadratic
+    in the flood size (round-5 review finding).  With max_bucket_df below
+    the flood, the hot cell drops out of candidate generation entirely
+    (declared semantics, same as the LSH arm); with the cap disabled the
+    flood's full pair set comes back."""
+    rng = np.random.default_rng(11)
+    dim = 16
+    anchor = rng.normal(size=dim)
+    anchor /= np.linalg.norm(anchor)
+    flood = [anchor + 1e-4 * rng.normal(size=dim) for _ in range(60)]
+    spread = rng.normal(size=(40, dim))
+    vecs = flood + [v for v in spread]
+    embs = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+
+    uncapped = dedup.embedding_near_dup_ann(
+        embs, threshold=0.999, method="ivf", n_centroids=8, nprobe=2,
+        max_bucket_df=0,
+    ).count()
+    assert uncapped >= 60 * 59 / 2 * 0.9  # the flood's pairs are found
+
+    capped = dedup.embedding_near_dup_ann(
+        embs, threshold=0.999, method="ivf", n_centroids=8, nprobe=2,
+        max_bucket_df=32,
+    ).count()
+    # every cell the flood lands in exceeds the cap, so its quadratic
+    # pair mass is gone; only (at most) spread-vector pairs remain
+    assert capped < 40 * 39 / 2
+    embs.unpersist()

@@ -259,3 +259,58 @@ def test_resize_media_pooling_rule(spark):
     one = spark.createDataFrame([(9, "Z")], "doc_id long, text string")
     rows4 = multimodal.resize_media(multimodal.media_table(one), target_len=4).collect()
     assert [(r["pos"], r["value"]) for r in rows4] == [(0, 90.0)]
+
+
+def test_token_count_whitespace_edges(spark):
+    """n_ws_tokens must count \\S+ runs (the oracle's semantics), not
+    split fragments: Spark's trim strips only spaces and split keeps
+    boundary empties, so a trailing newline/tab used to count a phantom
+    token (round-5 review finding)."""
+    rows = [
+        (0, "hello\n", 1),
+        (1, "\t", 0),
+        (2, "", 0),
+        (3, "a  b\nc", 3),
+        (4, " x ", 1),
+        (5, "plain words here", 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in textops.token_count(df).collect()
+    }
+    assert got == {i: n for i, t, n in rows}
+
+
+def test_byte_histogram_bucket_validation(docs):
+    """n_buckets that does not divide 256 must raise loudly: a remainder
+    emits bucket == n_buckets for high bytes, and n_buckets > 256
+    floor-divides by zero and silently collapses everything into bucket 0
+    (round-5 review finding)."""
+    media = multimodal.media_table(docs)
+    for bad in (10, 512, 0, 3):
+        with pytest.raises(ValueError, match="divide 256"):
+            multimodal.byte_histogram(media, n_buckets=bad)
+    # all valid divisors still work
+    assert multimodal.byte_histogram(media, n_buckets=256).count() > 0
+
+
+def test_simhash_max_hamming_guard(docs):
+    """max_hamming beyond the pigeonhole recall-1 bound (n_bands - 1)
+    must raise, not silently drop pairs (round-5 review finding)."""
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=3, n_bands=2)
+    # the boundary case is allowed
+    dedup.simhash_near_dup_pairs(docs, max_hamming=1, n_bands=2, eager=False)
+
+
+def test_dup_edges_accepts_scored_pairs(docs):
+    """dup_edges must normalize caller-supplied pairs frames by name:
+    jaccard_pairs / simhash_near_dup_pairs naturally carry a third score
+    column, and union is positional (round-5 review finding)."""
+    scored = dedup.jaccard_pairs(docs)  # (doc_a, doc_b, jaccard)
+    edges = dedup.dup_edges(docs, pairs=scored)
+    assert edges.columns == ["doc_a", "doc_b"]
+    edges.count()  # plan executes, no AnalysisException
