@@ -133,12 +133,17 @@ def cmd_query(args: argparse.Namespace) -> None:
     spark = get_spark(app="ds2s-query")
     store = IndexStore(args.index)
     sidx = ServingIndex.from_store(spark, store)
+    from ds2s.query import queries_df
+
     rows = []
     with open(args.queries) as fh:
         for qid, line in enumerate(fh):
             for i, term in enumerate(line.split()):
                 rows.append((qid, i, term.lower()))
-    qdf = spark.createDataFrame(rows, schema="qid int, ord int, term string")
+    # queries_df coalesces the tiny batch to one partition — a raw
+    # createDataFrame spreads ~100 rows over defaultParallelism tasks and
+    # inflates every timed run with empty-task scheduling overhead
+    qdf = queries_df(spark, rows=rows)
     n_q = len({r[0] for r in rows}) or 1
     runs = max(args.runs, 1)
 
@@ -200,7 +205,12 @@ def main(argv: list[str] | None = None) -> None:
     b = sub.add_parser("build", help="build + checkpoint an index")
     b.add_argument("--corpus", required=True)
     b.add_argument("--out", required=True)
-    b.add_argument("--codec", default=None, help="ef|uniform_pef|pef|optpfd|gvb|auto")
+    from ds2s.codecs import CODEC_IDS
+
+    # choices= so a typo'd codec fails at parse time, not deep inside
+    # executor tasks after the full inversion already ran
+    b.add_argument("--codec", default=None,
+                   choices=sorted(CODEC_IDS) + ["auto"])
     b.add_argument("--buckets", type=int, default=8)
     b.add_argument("--check", action="store_true",
                    help="decode-all equality verification after build "

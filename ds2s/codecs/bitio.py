@@ -84,13 +84,6 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
-def varint_size(values: np.ndarray) -> int:
-    v = values.astype(np.uint64, copy=False)
-    if len(v) == 0:
-        return 0
-    return int(np.maximum((64 - _clz64(v) + 6) // 7, 1).sum())
-
-
 def _clz64(v: np.ndarray) -> np.ndarray:
     """Count leading zeros for uint64 (0 → 64)."""
     out = np.full(len(v), 64, dtype=np.int64)

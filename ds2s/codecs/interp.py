@@ -83,18 +83,36 @@ def interp_encode(values: np.ndarray, universe: int) -> bytes:
 
 
 class _BitReader:
-    __slots__ = ("val", "nbits", "pos")
+    """MSB-first bit reader over a byte window, consumed incrementally.
 
-    def __init__(self, buf: bytes):
-        self.val = int.from_bytes(buf, "big")
-        self.nbits = 8 * len(buf)
+    The accumulator holds at most (w + 7) bits, so each read is O(w) —
+    the previous reader converted the ENTIRE remaining buffer to one big
+    int and every read shifted that full-width value, making whole-list
+    decode quadratic in n (measured 4× per doubling; round-5 review
+    finding).  ``start`` avoids slicing the stream (a copy that itself
+    cost O(remaining) per block in multi-block streams)."""
+
+    __slots__ = ("buf", "byte_pos", "acc", "acc_bits", "pos")
+
+    def __init__(self, buf: bytes, start: int = 0):
+        self.buf = buf
+        self.byte_pos = start
+        self.acc = 0
+        self.acc_bits = 0
         self.pos = 0
 
     def read(self, w: int) -> int:
         if w == 0:
             return 0
+        while self.acc_bits < w:
+            self.acc = (self.acc << 8) | self.buf[self.byte_pos]
+            self.byte_pos += 1
+            self.acc_bits += 8
+        self.acc_bits -= w
+        out = self.acc >> self.acc_bits
+        self.acc &= (1 << self.acc_bits) - 1
         self.pos += w
-        return (self.val >> (self.nbits - self.pos)) & ((1 << w) - 1)
+        return out
 
 
 def _expand(n: int, lo: int, hi: int, rd: _BitReader, out: list) -> None:
@@ -117,7 +135,7 @@ def interp_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
         return np.zeros(0, dtype=np.uint64), off
     # the decode recursion re-derives every width, so rd.pos ends at
     # exactly the bit count the encoder packed — consumed is exact
-    rd = _BitReader(buf[off:])
+    rd = _BitReader(buf, off)
     out: list[int] = []
     _expand(n, 0, universe - 1, rd, out)
     consumed = (rd.pos + 7) // 8

@@ -93,15 +93,6 @@ def uniform_partition(n: int, part_size: int = 128) -> np.ndarray:
     return np.arange(part_size, n + part_size, part_size, dtype=np.int64).clip(max=n)
 
 
-def _chunk_cost(values: np.ndarray, lo: int, hi: int, base: int) -> int:
-    """Bit cost of encoding values[lo:hi] relative to ``base`` (exclusive)."""
-    n = hi - lo
-    universe = int(values[hi - 1]) - base
-    if n == universe:
-        return 8
-    return indexed_bit_cost(universe, n)
-
-
 def _indexed_bit_cost_vec(universe: np.ndarray, n: np.ndarray) -> np.ndarray:
     """Vectorized indexed_bit_cost (identical semantics to the scalar)."""
     from .bitio import bit_length as _bl
@@ -210,7 +201,3 @@ def pef_decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
         base = int(uppers[k])
         prev_end = e
     return out, off
-
-
-def pef_bit_size(values: np.ndarray, universe: int, partition: str = "opt") -> int:
-    return len(pef_encode(values, universe, partition)) * 8

@@ -81,8 +81,14 @@ def pfd_decode_block(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     if n_exc:
         pos = np.frombuffer(buf[off : off + n_exc], dtype=np.uint8).astype(np.int64)
         off += n_exc
-        # varint payload length: scan n_exc terminators
-        payload = np.frombuffer(buf, dtype=np.uint8, offset=off)
+        # varint payload length: scan n_exc terminators.  A uint64 varint
+        # is ≤ 10 bytes, so the scan window is exactly bounded — scanning
+        # to the buffer end made multi-block decode O(blocks × remaining)
+        # on exception-heavy lists (round-5 review finding)
+        payload = np.frombuffer(
+            buf, dtype=np.uint8, offset=off,
+            count=min(n_exc * 10, len(buf) - off),
+        )
         ends = np.flatnonzero((payload & 0x80) == 0)[:n_exc]
         used = int(ends[-1]) + 1
         highs = varint_decode(buf[off : off + used], n_exc)

@@ -66,7 +66,11 @@ class IndexConfig:
     # size win at that granularity
     # (choices: ef|uniform_pef|pef|optpfd|gvb|interp|auto)
     tf_codec: str = "optpfd"  # strict-EF over cumsum (pef family) or block codec
-    dedupe_query_terms: bool = False  # upstream keeps duplicate cursors
+    # upstream keeps duplicate cursors (a repeated query term scores with
+    # weight = multiplicity); True collapses to one cursor per (qid, term)
+    # in BOTH the exact path (query._with_ids) and the serving path
+    # (ServingIndex._resolve_cursors)
+    dedupe_query_terms: bool = False
     scorer: Scorer = field(default_factory=Scorer)
 
     @classmethod

@@ -65,7 +65,12 @@ def _with_ids(idx: InvertedIndex, qdf: DataFrame) -> DataFrame:
     term_id — its term-string column would dominate every shuffle's bytes
     for zero information).  Unknown terms drop out here (OR ignores them;
     AND counts its requirement on the RAW qdf, so they still empty the
-    conjunction)."""
+    conjunction).  Under cfg.dedupe_query_terms each (qid, term) keeps
+    ONE cursor row, so a repeated query term scores once — mirrored by
+    the serving path's weight collapse in ServingIndex._resolve_cursors
+    (the knob was previously declared but unread: round-5 review)."""
+    if idx.cfg.dedupe_query_terms:
+        qdf = qdf.dropDuplicates(["qid", "term"])
     return qdf.join(idx.lexicon.select("term", "term_id"), "term")
 
 

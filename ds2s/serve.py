@@ -581,6 +581,10 @@ class ServingIndex:
                 (int(r["qid"]), r["term"])
                 for r in qdf.select("qid", "term").collect()
             )
+            if self.cfg.dedupe_query_terms:
+                # collapse duplicate cursors: each (qid, term) scores once
+                # (the exact path mirrors this in query._with_ids)
+                wcount = {key: 1 for key in wcount}
             terms = sorted({t for _, t in wcount})
             if not terms:
                 return []

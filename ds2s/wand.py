@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .config import DEFAULT_CONFIG, IndexConfig
+from .config import IndexConfig
 from .invert import InvertedIndex
 from .query import bm25_score_col
 
@@ -44,7 +44,7 @@ def build_wand_max(idx: InvertedIndex, round_to: int | None = None) -> DataFrame
 
 def build_block_max(
     idx: InvertedIndex,
-    cfg: IndexConfig = DEFAULT_CONFIG,
+    cfg: IndexConfig | None = None,
     round_to: int | None = None,
 ) -> DataFrame:
     """(term_id, block_id, n, first_doc, last_doc, block_max_score).
@@ -54,7 +54,13 @@ def build_block_max(
     term — acceptable because the downstream groupBy(term, block) splits
     hot terms; at extreme skew the position assignment itself would use the
     range-partitioned two-pass trick from corpus.with_dense_id.
+
+    ``cfg`` defaults to the INDEX's own build-time config: scoring
+    already comes from idx.cfg.scorer, so blocking from any other
+    block_size would desync this reference table from the engine block
+    table it exists to equality-check (round-5 review finding).
     """
+    cfg = cfg if cfg is not None else idx.cfg
     w = Window.partitionBy("term_id").orderBy("doc_id")
     pos = _scored_postings(idx).withColumn(
         "block_id",

@@ -167,3 +167,25 @@ def test_pef_beats_uniform_and_ef_on_clustered():
     ef = len(ef_encode(vals, u))
     assert opt <= uni
     assert opt < ef
+
+
+def test_indexed_bit_cost_scalar_vec_parity():
+    """The optimal-partition DP uses the VECTORIZED cost model
+    (_indexed_bit_cost_vec); the scalar indexed_bit_cost is its readable
+    spec.  Pin them equal over a seeded grid so a future edit to either
+    cannot silently diverge the DP's cost function from the documented
+    semantics (round-5 review: the scalar twin had drifted out of use)."""
+    from ds2s.codecs.pef import _indexed_bit_cost_vec, indexed_bit_cost
+
+    rng = np.random.default_rng(23)
+    u = rng.integers(1, 1 << 30, size=500).astype(np.int64)
+    n = np.minimum(rng.integers(1, 1 << 20, size=500).astype(np.int64), u)
+    # include the degenerate n == u (all-ones) and tiny shapes
+    u = np.concatenate([u, [1, 2, 128, 128]])
+    n = np.concatenate([n, [1, 2, 128, 1]])
+    got = _indexed_bit_cost_vec(u, n)
+    exp = np.array(
+        [indexed_bit_cost(int(ui), int(ni)) for ui, ni in zip(u, n)],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got, exp), (got[got != exp][:5], exp[got != exp][:5])

@@ -58,3 +58,43 @@ def test_and_subset_of_or(spark, synth_idx):
     a = Q.and_count(synth_idx, qdf).collect()[0]["matches"]
     o = Q.or_count(synth_idx, qdf).collect()[0]["matches"]
     assert 0 < a <= o
+
+
+def test_dedupe_query_terms_honored(spark, synth_idx):
+    """cfg.dedupe_query_terms=True collapses a repeated query term to ONE
+    cursor in BOTH the exact path and the serving path (the knob was
+    previously declared in IndexConfig but read by nothing — a silent
+    no-op, round-5 review finding)."""
+    import dataclasses
+
+    from ds2s.invert import InvertedIndex
+    from ds2s.serve import ServingIndex
+
+    dup_q = [(0, 0, "def"), (0, 1, "def"), (0, 2, "return")]
+    single_q = [(0, 0, "def"), (0, 1, "return")]
+
+    def ranked(idx, rows):
+        qdf = Q.queries_df(spark, rows=rows)
+        out = Q.ranked_or_topk(idx, qdf, k=5).orderBy("rank").collect()
+        return [(r["doc_id"], r["score"]) for r in out]
+
+    base = ranked(synth_idx, dup_q)
+
+    cfg2 = dataclasses.replace(synth_idx.cfg, dedupe_query_terms=True)
+    idx2 = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg2})
+    dd = ranked(idx2, dup_q)
+
+    # deduped duplicate query ≡ the same query written once per term
+    assert dd == ranked(idx2, single_q)
+    # and differs from the default multiplicity weighting
+    assert base != dd
+
+    # serving path honors the knob identically
+    sidx = ServingIndex(idx2)
+    got = (
+        sidx.topk(Q.queries_df(spark, rows=dup_q), k=5, algo="bmw")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r["doc_id"], r["score"]) for r in got] == dd
+    sidx.unpersist()
