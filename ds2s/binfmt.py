@@ -29,8 +29,20 @@ import numpy as np
 
 
 def _write_seq(fh, values: np.ndarray) -> None:
-    np.asarray([len(values)], dtype="<u4").tofile(fh)
-    np.asarray(values, dtype="<u4").tofile(fh)
+    arr = np.asarray(values)
+    if arr.size:
+        lo, hi = int(arr.min()), int(arr.max())
+        if lo < 0 or hi > 0xFFFFFFFF:
+            # astype('<u4') would WRAP silently — a structurally valid
+            # file full of corrupt values that every downstream
+            # rank-identity check then trusts (round-5 review finding);
+            # the u32 format limit must be an error, not corruption
+            raise ValueError(
+                f"ds2i binary format is u32; sequence holds values "
+                f"outside [0, 2^32): min={lo} max={hi}"
+            )
+    np.asarray([arr.size], dtype="<u4").tofile(fh)
+    arr.astype("<u4").tofile(fh)
 
 
 def read_sequences(path: str) -> Iterator[np.ndarray]:

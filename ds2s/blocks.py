@@ -53,6 +53,34 @@ BLOCKS_SCHEMA_SCORED = BLOCKS_SCHEMA + ", len_bytes binary, block_max_score doub
 _AUTO_CANDIDATES = ("ef", "pef", "optpfd", "gvb", "interp")
 
 
+def range_salt_stride(universe: int, n_salt: int) -> int:
+    """Disjoint docID-range salt stride — the ONE formula shared by
+    ``invert.build_postings`` and ``blocks_from_tf`` so hot-term runs
+    split at identical boundaries everywhere (round-5 review: the two
+    call sites had drifted to (max_doc+n)//n vs (n_docs+n)//n; outputs
+    are stride-invariant, but a shared helper removes the drift risk)."""
+    return max(1, (int(universe) + int(n_salt)) // max(1, int(n_salt)))
+
+
+def superblock_agg(blocks: DataFrame, sb_size: int) -> DataFrame:
+    """Variable-BMW upper tier: per (term, superblock of ``sb_size``
+    blocks) docID range + max block score + block count — a metadata-only
+    aggregation of the block table, 1/sb_size the rows.  The ONE
+    definition consumed by both live serving (``serve._init_tables``) and
+    the store writer (``manifest.write_checkpointed``): a stored
+    superblock table must equal the live-derived one or pre-pruning
+    desyncs from kernel scores."""
+    return blocks.groupBy(
+        "term_id",
+        (F.col("block_id") / int(sb_size)).cast("int").alias("sb_id"),
+    ).agg(
+        F.min("first_doc").alias("first_doc"),
+        F.max("last_doc").alias("last_doc"),
+        F.max("block_max_score").alias("sb_max_score"),
+        F.count("*").alias("n_blocks"),
+    )
+
+
 def _encode_one(docs: np.ndarray, tfs: np.ndarray, universe: int, codec: str) -> tuple[bytes, bytes]:
     if codec == "auto":
         best_d = min(
@@ -164,7 +192,7 @@ def blocks_from_tf(
     bs = int(block_size or cfg.block_size)
     ns = int(n_salt or max(cfg.n_salt, 1))
     universe = int(n_docs)
-    stride = max(1, (universe + ns) // ns)
+    stride = range_salt_stride(universe, ns)
     spark = tf.sparkSession
     scored = avg_len is not None and "len" in tf.columns and "df" in tf.columns
     scorer = cfg.scorer

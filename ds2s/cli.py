@@ -6,13 +6,20 @@ queries ([U] ds2i/create_freq_index.cpp, create_wand_data.cpp, queries.cpp
 subcommands over persisted index *tables* (north rule: run via
 ``spark-submit --py-files``):
 
-    spark-submit --py-files ds2s.zip path/to/ds2s/cli.py build \\
+    spark-submit --driver-memory 16g --py-files ds2s.zip \\
+        path/to/ds2s/cli.py build \\
         --corpus /path/to/corpus.parquet --out /path/to/index \\
         [--codec optpfd] [--buckets 8]
 
-    spark-submit --py-files ds2s.zip path/to/ds2s/cli.py query \\
+    spark-submit --driver-memory 16g --py-files ds2s.zip \\
+        path/to/ds2s/cli.py query \\
         --index /path/to/index --queries queries.txt \\
         [--algo bmw|maxscore|wand] [--k 10]
+
+(--driver-memory must be on the spark-submit LINE: the driver JVM exists
+before the session factory runs, so ``ds2s.session``'s 16g builder conf
+cannot apply there — the factory warns on stderr if it detects the
+mismatch.)
 
 (or, in a plain Python environment, ``python -m ds2s.cli build ...`` —
 spark-submit takes an application FILE, not a ``-m`` module flag).
@@ -40,15 +47,19 @@ import sys
 import time
 
 
-def _load_corpus(spark, path: str):
+def _load_corpus(spark, path: str, aux: list | None = None):
     from pyspark.sql import functions as F
 
     from ds2s.corpus import load_code_corpus
 
     df = spark.read.parquet(path)
     cols = set(df.columns)
-    if {"repo", "path", "commit", "content"} <= cols:
-        return load_code_corpus(spark, path)
+    # "lang" is part of the gate: load_code_corpus selects it
+    # unconditionally, so admitting a corpus without it would crash with
+    # an opaque UNRESOLVED_COLUMN deep inside the build instead of the
+    # clean schema error below (round-5 review finding)
+    if {"repo", "path", "commit", "lang", "content"} <= cols:
+        return load_code_corpus(spark, path, aux=aux)
     if {"doc_id", "text"} <= cols:
         return df.select(F.col("doc_id").cast("long").alias("doc_id"),
                          F.col("text").alias("content"))
@@ -67,9 +78,16 @@ def cmd_build(args: argparse.Namespace) -> None:
     t0 = time.perf_counter()
     # persist_tf=False: in the build→store pipeline the tf join has one
     # consumer (the encode shuffle) — no second 100 M-row cache pass
+    aux: list = []
     idx = build_index(
-        _load_corpus(spark, args.corpus), build_arrays=False, persist_tf=False
+        _load_corpus(spark, args.corpus, aux=aux),
+        build_arrays=False, persist_tf=False,
     )
+    # build_index has materialized its own corpus cache — the dense-id
+    # sort intermediate is now a dead duplicate of the full corpus in
+    # executor storage; release it before the write jobs need the memory
+    for df in aux:
+        df.unpersist()
     store = IndexStore(args.out)
     written = store.write_checkpointed(
         idx, source=args.corpus, codec=args.codec, n_buckets=args.buckets
@@ -135,11 +153,24 @@ def cmd_query(args: argparse.Namespace) -> None:
     sidx = ServingIndex.from_store(spark, store)
     from ds2s.query import queries_df
 
+    # Query-side tokenization mirrors the ENGINE's tokenizer (the
+    # token_pattern frozen in the store's config), not a bare
+    # whitespace split: a query line `hash-join` must resolve to the
+    # lexicon entries `hash`, `join` — the raw hyphenated token exists in
+    # no lexicon this engine builds, so keeping it silently scored zero
+    # (round-5 review finding).  Python `re` and Spark's regexp share the
+    # semantics of this simple character-class pattern.
+    import re
+
+    tok = re.compile(sidx.cfg.token_pattern)
     rows = []
     with open(args.queries) as fh:
         for qid, line in enumerate(fh):
-            for i, term in enumerate(line.split()):
-                rows.append((qid, i, term.lower()))
+            i = 0
+            for word in line.split():
+                for term in tok.findall(word.lower()):
+                    rows.append((qid, i, term))
+                    i += 1
     # queries_df coalesces the tiny batch to one partition — a raw
     # createDataFrame spreads ~100 rows over defaultParallelism tasks and
     # inflates every timed run with empty-task scheduling overhead

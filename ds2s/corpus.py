@@ -122,19 +122,27 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def load_code_corpus(spark: SparkSession, path: str) -> DataFrame:
+def load_code_corpus(spark: SparkSession, path: str,
+                     aux: list | None = None) -> DataFrame:
     """North-rule corpus (repo, path, commit, lang, content) → + dense doc_id.
 
     docID contract: dense [0, N) by ORDER BY (repo, path, commit)
     (FIXTURES.md F1).  Reads Iceberg when a catalog table name is given and
     the runtime has Iceberg; parquet path otherwise (sandbox fallback,
     SURVEY.md §1.6).
+
+    ``aux`` receives with_dense_id's persisted sort intermediate so the
+    caller can release it once a downstream cache materializes (round-5
+    review: without the hook the range-sorted full corpus stays pinned in
+    executor storage for the session lifetime, doubling the corpus
+    footprint next to build_index's own cache).
     """
     if "/" in path or path.endswith(".parquet"):
         df = spark.read.parquet(path)
     else:  # pragma: no cover - needs an Iceberg catalog
         df = spark.read.table(path)
-    return with_dense_id(df, ["repo", "path", "commit"], "doc_id").select(
+    return with_dense_id(df, ["repo", "path", "commit"], "doc_id",
+                         aux=aux).select(
         "doc_id", "repo", "path", "commit", "lang", "content"
     )
 
@@ -196,11 +204,12 @@ def synth_corpus_rows(n_repos: int = 20, paths_per_repo: int = 15, seed: int = 4
 
 
 def synth_corpus(spark: SparkSession, n_repos: int = 20, paths_per_repo: int = 15,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, aux: list | None = None) -> DataFrame:
     rows = synth_corpus_rows(n_repos, paths_per_repo, seed)
     df = spark.createDataFrame(
         rows, schema="repo string, path string, commit string, lang string, content string"
     )
-    return with_dense_id(df, ["repo", "path", "commit"], "doc_id").select(
+    return with_dense_id(df, ["repo", "path", "commit"], "doc_id",
+                         aux=aux).select(
         "doc_id", "repo", "path", "commit", "lang", "content"
     )

@@ -75,8 +75,7 @@ def build_tf(corpus: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
     )
 
 
-def build_lexicon(tf: DataFrame, dense_ids: bool = True,
-                  aux: list | None = None) -> DataFrame:
+def build_lexicon(tf: DataFrame, aux: list | None = None) -> DataFrame:
     """(term, term_id, df): dense termIDs by ORDER BY term (SURVEY.md §7.5).
 
     Uses the scale-safe range-partitioned dense-id assignment; vocab is
@@ -117,7 +116,9 @@ def build_postings(
     # in by build_index — n_docs-1 — to avoid an extra driver job).
     if max_doc is None:
         max_doc = tf_ids.agg(F.max("doc_id")).collect()[0][0] or 0
-    stride = max(1, (int(max_doc) + n_salt) // n_salt)
+    from .blocks import range_salt_stride
+
+    stride = range_salt_stride(int(max_doc) + 1, n_salt)
     salted = tf_ids.withColumn(
         "salt",
         F.when(F.col("df") > cfg.hot_term_df, (F.col("doc_id") / stride).cast("int")).otherwise(
@@ -152,9 +153,15 @@ class InvertedIndex:
     avg_len: float
     cfg: IndexConfig
     n_postings: int = 0  # tf row count, from the stats agg (no extra pass)
+    # persisted upstreams the index still depends on (persist_tf=False
+    # keeps tf_terms cached as tf's input) — released with the index, so
+    # repeated builds in one JVM can't pin dead posting-table caches
+    # (round-5 review finding)
+    extra_caches: tuple = ()
 
     def unpersist(self) -> None:
-        for df in (self.corpus, self.sizes, self.tf, self.lexicon, self.postings):
+        for df in (self.corpus, self.sizes, self.tf, self.lexicon,
+                   self.postings, *self.extra_caches):
             try:
                 df.unpersist()
             except Exception:
@@ -266,4 +273,7 @@ def build_index(
         avg_len=avg_len,
         cfg=cfg,
         n_postings=n_postings,
+        # persist_tf=False leaves tf_terms cached as tf's upstream; hand
+        # its handle to the index so unpersist() can release it
+        extra_caches=() if persist_tf else (tf_terms,),
     )

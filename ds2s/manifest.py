@@ -35,16 +35,26 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .blocks import blocks_from_tf
+from .blocks import blocks_from_tf, superblock_agg
 from .config import IndexConfig
 from .corpus import with_sha256
 from .invert import InvertedIndex
 
 
-def _config_fingerprint(cfg: IndexConfig) -> str:
+def _config_fingerprint(cfg: IndexConfig, extra: dict | None = None) -> str:
+    """Unit-completeness fingerprint.  ``extra`` carries write-call
+    arguments that change the bytes on disk but live OUTSIDE IndexConfig
+    (codec override, n_buckets, sb_size) — round-5 review: hashing only
+    asdict(cfg) made ``write_checkpointed(..., codec='gvb')`` over a
+    pef-written store a silent no-op (same fp ⇒ every unit 'done')."""
     import hashlib
 
-    return hashlib.sha256(json.dumps(asdict(cfg), sort_keys=True).encode()).hexdigest()[:16]
+    payload = dict(asdict(cfg))
+    if extra:
+        payload["__write_args"] = dict(sorted(extra.items()))
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True).encode()
+    ).hexdigest()[:16]
 
 
 class IndexStore:
@@ -73,6 +83,24 @@ class IndexStore:
         tmp.write_text("".join(json.dumps(r) + "\n" for r in units.values()))
         os.replace(tmp, self.manifest_path)
 
+    def _invalidate_units(self, names: set[str]) -> None:
+        """Drop manifest lines for units about to be REWRITTEN (any
+        fingerprint), atomically, BEFORE their data dirs are overwritten.
+        Round-5 review: blocks_group's mode('overwrite') destroys the old
+        config's data first — a crash mid-rewrite must not leave stale
+        lines vouching for a directory that no longer holds what they
+        describe (rerun under the old config would then skip the unit and
+        serve the partial dir as complete)."""
+        if not self.manifest_path.exists():
+            return
+        units = self.completed_units()
+        keep = {k: v for k, v in units.items() if k not in names}
+        if len(keep) == len(units):
+            return
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text("".join(json.dumps(r) + "\n" for r in keep.values()))
+        os.replace(tmp, self.manifest_path)
+
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         rows = list(self.completed_units().values())
         return spark.createDataFrame(
@@ -94,6 +122,7 @@ class IndexStore:
         source: str,
         codec: str | None = None,
         n_buckets: int = 8,
+        sb_size: int = 128,
         fail_after_units: int | None = None,
         content_col: str = "content",
         blocks: DataFrame | None = None,
@@ -111,18 +140,39 @@ class IndexStore:
         serving table built with the codec you want persisted).
         """
         cfg = idx.cfg
-        fp = _config_fingerprint(cfg)
+        eff_codec = codec or cfg.block_codec
+        fp = _config_fingerprint(
+            cfg,
+            extra={
+                "codec": eff_codec,
+                "n_buckets": int(n_buckets),
+                "sb_size": int(sb_size),
+            },
+        )
         spark = idx.corpus.sparkSession
         # Resume safety: a unit counts as done ONLY if it was written under
         # the SAME config fingerprint — rerunning with a changed
-        # IndexConfig/codec/block_size treats stale units as incomplete and
-        # rewrites them (a mixed-config index would silently corrupt top-k:
-        # e.g. old-block_size blocks no longer align with fresh metadata).
+        # IndexConfig/codec override/bucketing treats stale units as
+        # incomplete and rewrites them (a mixed-config index would silently
+        # corrupt top-k: e.g. old-block_size blocks no longer align with
+        # fresh metadata).
         done = {
             name: row
             for name, row in self.completed_units().items()
             if row.get("config") == fp
         }
+        bucket_names = [f"blocks_bucket_{k}" for k in range(n_buckets)]
+        # Invalidate-before-overwrite: any unit this run will (re)write
+        # loses its old manifest line NOW, in one atomic rewrite, before
+        # any data dir is touched — a crash mid-rewrite then reads as
+        # "never completed" under EVERY config, never as "complete under
+        # the previous one" (round-5 review finding).
+        expected = (
+            ["corpus_manifest", "sizes", "lexicon"]
+            + bucket_names
+            + ["superblocks", "wand_max", "_index"]
+        )
+        self._invalidate_units({u for u in expected if u not in done})
         written = 0
         mlock = threading.Lock()  # _append_manifest is read-modify-write
 
@@ -240,7 +290,6 @@ class IndexStore:
                 ),
             ),
         ]
-        bucket_names = [f"blocks_bucket_{k}" for k in range(n_buckets)]
         blocks_pending = any(name not in done for name in bucket_names)
 
         if fail_after_units is not None:
@@ -264,24 +313,16 @@ class IndexStore:
                 for f in futs:
                     f.result()  # re-raise the first failure
 
-        # superblock tier (Variable-BMW upper level, round-3): per (term,
-        # superblock of sb_size blocks) range + max + count — metadata-only
-        # scan of the stored blocks; serving grid-prunes this 1/sb_size
-        # table before ever touching per-block metadata of hot terms
-        sb_size = 128
+        # superblock tier (Variable-BMW upper level, round-3): shared
+        # definition with live serving (blocks.superblock_agg) — a
+        # metadata-only scan of the stored blocks; serving grid-prunes
+        # this 1/sb_size table before ever touching per-block metadata of
+        # hot terms
         unit(
             "superblocks",
             plain(
-                spark.read.parquet(str(self.root / "blocks"))
-                .groupBy(
-                    "term_id",
-                    (F.col("block_id") / sb_size).cast("int").alias("sb_id"),
-                )
-                .agg(
-                    F.min("first_doc").alias("first_doc"),
-                    F.max("last_doc").alias("last_doc"),
-                    F.max("block_max_score").alias("sb_max_score"),
-                    F.count("*").alias("n_blocks"),
+                superblock_agg(
+                    spark.read.parquet(str(self.root / "blocks")), sb_size
                 ),
                 "superblocks",
             ),
@@ -309,7 +350,7 @@ class IndexStore:
                 "config_fingerprint": fp,
                 # blocks_from_tf defaults to cfg.block_codec when codec is
                 # None — record what was actually used
-                "codec": codec or cfg.block_codec,
+                "codec": eff_codec,
                 "n_buckets": n_buckets,
                 "sb_size": sb_size,
                 "source": source,

@@ -109,8 +109,11 @@ def sql_ranked_or(k: int = DEFAULT_K) -> str:
     return f"WITH {_base_ctes()} {_sql_topk('', k)}"
 
 
-def sql_ranked_and(k: int = DEFAULT_K) -> str:
-    members = f"""
+def _sql_and_members() -> str:
+    """Conjunction membership (docs containing ALL of a query's distinct
+    terms) — ONE definition consumed by both ranked-AND and AND-count so
+    the frozen semantics cannot drift apart (round-5 review)."""
+    return """
 need AS (SELECT qid, count(DISTINCT term) AS n_need FROM qterms GROUP BY qid),
 members AS (
   SELECT q.qid, t.doc_id
@@ -119,22 +122,18 @@ members AS (
   GROUP BY q.qid, t.doc_id
   HAVING count(*) = (SELECT n_need FROM need n WHERE n.qid = q.qid)
 )"""
+
+
+def sql_ranked_and(k: int = DEFAULT_K) -> str:
     return (
-        f"WITH {_base_ctes()}, {members} "
+        f"WITH {_base_ctes()}, {_sql_and_members()} "
         + _sql_topk("JOIN members USING (qid, doc_id)", k)
     )
 
 
 def sql_and_count() -> str:
     return f"""WITH {_base_ctes()},
-need AS (SELECT qid, count(DISTINCT term) AS n_need FROM qterms GROUP BY qid),
-members AS (
-  SELECT q.qid, t.doc_id
-  FROM (SELECT DISTINCT qid, term FROM qterms) q
-  JOIN tf t USING (term)
-  GROUP BY q.qid, t.doc_id
-  HAVING count(*) = (SELECT n_need FROM need n WHERE n.qid = q.qid)
-),
+{_sql_and_members()},
 cnt AS (SELECT qid, count(*) AS matches FROM members GROUP BY qid)
 SELECT q.qid, cast(coalesce(c.matches, 0) AS BIGINT) AS matches
 FROM (SELECT DISTINCT qid FROM qterms) q LEFT JOIN cnt c USING (qid)

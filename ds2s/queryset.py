@@ -46,7 +46,9 @@ def queries_sql_values() -> str:
     rows = []
     for qid, terms in QUERIES:
         for i, t in enumerate(terms):
-            rows.append(f"({qid}, {i}, '{t}')")
+            # SQL-escape quotes: safe for the frozen [a-z0-9] set today,
+            # total for any future fixture term (round-5 review)
+            rows.append(f"({qid}, {i}, '{t.replace(chr(39), chr(39) * 2)}')")
     return ",\n    ".join(rows)
 
 

@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 
 from contextlib import contextmanager
 
-from .blocks import blocks_from_tf
+from .blocks import blocks_from_tf, superblock_agg
 from .codecs import decode_docs, decode_tfs
 from .config import DEFAULT_CONFIG, IndexConfig
 from .invert import InvertedIndex
@@ -488,18 +488,9 @@ class ServingIndex:
             )
         self.wand = wand.persist()
         if superblocks is None:
-            # Variable-BMW upper tier: per (term, superblock of sb_size
-            # blocks) range + max — metadata-only agg, 1/sb_size the rows.
+            # Variable-BMW upper tier (shared definition, blocks.py).
             # Lazy: only materialized when a query's block volume needs it.
-            superblocks = self.blocks.groupBy(
-                "term_id",
-                (F.col("block_id") / self.sb_size).cast("int").alias("sb_id"),
-            ).agg(
-                F.min("first_doc").alias("first_doc"),
-                F.max("last_doc").alias("last_doc"),
-                F.max("block_max_score").alias("sb_max_score"),
-                F.count("*").alias("n_blocks"),
-            )
+            superblocks = superblock_agg(self.blocks, self.sb_size)
         self.superblocks = superblocks.persist()
 
     def unpersist(self) -> None:
@@ -531,29 +522,59 @@ class ServingIndex:
             IndexConfig.from_dict(meta["config"])
             if "config" in meta else DEFAULT_CONFIG
         )
-        # Older stores predate the superblock table: derive it from blocks.
         # Completeness is the MANIFEST's verdict, not the directory's
-        # (round-5 review): a writer that crashed mid-superblocks-write can
-        # leave a partially-committed parquet dir visible (task-commit
-        # committers) with no manifest line — loading it would silently
-        # drop terms from superblock pre-pruning and corrupt top-k.  No
-        # manifest line ⇒ the unit was never completed ⇒ derive from
-        # blocks, exactly the resume protocol's reading.  A table that IS
+        # (round-5 review): a writer that crashed mid-write can leave a
+        # partially-committed parquet dir visible (task-commit committers)
+        # with no manifest line — loading it would silently drop terms
+        # from pruning metadata and corrupt top-k.  Derivable tiers
+        # (superblocks, wand_max) fall back to recomputation from blocks,
+        # exactly the resume protocol's reading; REQUIRED tables (lexicon,
+        # every blocks bucket) have no fallback, so an incomplete one is a
+        # loud error, never a silent partial index.  A table that IS
         # manifest-complete but unreadable (I/O error, schema drift) still
         # propagates, not silently rebuilt.
-        if (
-            "superblocks" in store.completed_units()
-            and (store.root / "superblocks").exists()
-        ):
-            superblocks = store.load_table(spark, "superblocks")
-        else:
-            superblocks = None
+        units = store.completed_units()
+        want_fp = meta.get("config_fingerprint")
+
+        def complete(name: str) -> bool:
+            row = units.get(name)
+            if row is None:
+                return False
+            # an empty bucket (0 rows recorded) legitimately has no dir
+            if int(row.get("n_rows", 0)) > 0 and not (
+                store.root
+                / name.replace("blocks_bucket_", "blocks/bucket=")
+            ).exists():
+                return False
+            # _index records the fingerprint its run wrote under; a unit
+            # line from another config vouches for data this meta does
+            # not describe
+            return want_fp is None or row.get("config") == want_fp
+
+        required = ["lexicon"] + [
+            f"blocks_bucket_{k}" for k in range(int(meta.get("n_buckets", 0)))
+        ]
+        missing = [u for u in required if not complete(u)]
+        if missing:
+            raise RuntimeError(
+                f"store at {store.root} is incomplete (missing/stale "
+                f"units: {missing}) — rerun write_checkpointed before "
+                "serving"
+            )
+        superblocks = (
+            store.load_table(spark, "superblocks")
+            if complete("superblocks") else None
+        )
+        wand = (
+            store.load_table(spark, "wand_max")
+            if complete("wand_max") else None
+        )
         self._init_tables(
             lexicon=store.load_table(spark, "lexicon"),
             n_docs=meta["n_docs"],
             avg_len=meta["avg_len"],
             blocks=store.load_blocks(spark),
-            wand=store.load_table(spark, "wand_max"),
+            wand=wand,
             superblocks=superblocks,
             seed_max_blocks=seed_max_blocks,
             sb_size=int(meta.get("sb_size", sb_size)),

@@ -104,4 +104,32 @@ def get_spark(
         local_dir = "/dev/shm/ds2s-spark"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Under spark-submit the driver JVM is launched BEFORE this builder
+    # runs, so spark.driver.memory set here is silently IGNORED on that
+    # path and the heap stays at spark-submit's default (~1g) — the exact
+    # G1-thrash regime the 16g setting was tuned to avoid (round-5 review
+    # finding).  Detect the real heap from the running JVM and warn with
+    # the fix; plain `python -m` launches forward builder confs to the
+    # gateway, so this never fires there.
+    want = os.environ.get("DS2S_DRIVER_MEM", "16g")
+    try:
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        w = want.strip().lower()
+        want_bytes = (
+            int(float(w[:-1]) * units[w[-1]]) if w[-1] in units else int(w)
+        )
+        actual = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        if actual < 0.6 * want_bytes:
+            import sys
+
+            print(
+                f"ds2s: driver JVM heap is {actual / (1 << 30):.1f} GiB but "
+                f"{want} was requested — under spark-submit, pass "
+                f"--driver-memory {want} on the command line (builder "
+                "conf cannot resize an already-launched JVM)",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass  # diagnostics only — never block session creation
+    return spark

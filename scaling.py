@@ -141,9 +141,14 @@ def child(cores: int) -> None:
             if not p.isdigit():
                 continue
             try:
-                parts = open(f"/proc/{p}/stat").read().split()
-                kids[int(parts[3])].append(int(p))
-            except OSError:
+                # parse AFTER the ')' that closes comm — a naive split
+                # mis-parents any process whose comm contains a space and
+                # silently drops its subtree's CPU (round-5 review; the
+                # CPU-field parse below already does this)
+                s = open(f"/proc/{p}/stat").read()
+                ppid = int(s[s.rindex(")") + 2:].split()[1])
+                kids[ppid].append(int(p))
+            except (OSError, ValueError):
                 pass
         cpu_j, stack = 0, [os.getpid()]
         while stack:
@@ -194,9 +199,15 @@ def child(cores: int) -> None:
         sidx = ServingIndex(probe_idx)
         bmw = sidx.topk(qdf, k=10, algo="bmw").orderBy("qid", "rank").collect()
     else:
-        exact = bmw = []
+        exact = bmw = None  # probes skipped — must NOT report as matching
 
     def digest(rows):
+        # None (probe skipped) stays None: two skipped probes would
+        # otherwise digest two empty lists to the same constant sha and
+        # stamp rank_identity=true for a gate that never ran (round-5
+        # review finding)
+        if rows is None:
+            return None
         h = hashlib.sha256()
         for r in rows:
             h.update(f"{r['qid']}|{r['rank']}|{r['doc_id']}|{r['score']:.4f};".encode())
@@ -290,15 +301,37 @@ def main() -> None:
         if rep:
             probes.append(host_probe())
         for cores in (lo, hi):
-            out = subprocess.run(
-                [sys.executable, __file__, "--child", str(cores)],
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            run = json.loads(line)
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__, "--child", str(cores)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                lines = [
+                    l for l in out.stdout.splitlines() if l.startswith("{")
+                ]
+                if out.returncode != 0 or not lines:
+                    raise RuntimeError(
+                        f"scaling child (cores={cores}, rep={rep}) failed "
+                        f"rc={out.returncode}; stderr tail: "
+                        f"{(out.stderr or '')[-2000:]}"
+                    )
+                run = json.loads(lines[-1])
+            except (subprocess.TimeoutExpired, RuntimeError) as e:
+                # Salvage a multi-hour campaign: if both levels already
+                # hold a best run, stop measuring and report what we have
+                # (round-5 review: a single child OOM/timeout used to
+                # destroy every completed repeat with a bare IndexError)
+                if lo in results and hi in results:
+                    print(json.dumps({"aborted_rep": rep, "cores": cores,
+                                      "reason": str(e)[:500]}), flush=True)
+                    break
+                raise
             best = results.get(cores)
             if best is None or run["build_s"] < best["build_s"]:
                 results[cores] = run
+        else:
+            continue
+        break
     r8, r32 = results[lo], results[hi]
     eff = (r8["build_s"] / r32["build_s"]) / (hi / lo)
     report = {
@@ -307,8 +340,11 @@ def main() -> None:
         "unit": "ratio",
         "runs": results,
         "rank_identity": {
-            "exact": r8["exact_sha"] == r32["exact_sha"],
-            "bmw": r8["bmw_sha"] == r32["bmw_sha"],
+            # null = probes skipped (DS2S_SCALING_PROBES=0), never "true"
+            "exact": (r8["exact_sha"] == r32["exact_sha"])
+            if r8["exact_sha"] and r32["exact_sha"] else None,
+            "bmw": (r8["bmw_sha"] == r32["bmw_sha"])
+            if r8["bmw_sha"] and r32["bmw_sha"] else None,
         },
         # total CPU-seconds at hi vs lo cores for IDENTICAL work — the
         # parallel-overhead signal.  1.0 = zero overhead (wall efficiency

@@ -216,8 +216,12 @@ def test_cli_build_and_query(tmp_path, spark):
         cli.main(["build", "--corpus", corpus_path, "--out", out_dir])
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["units_written"] == 0
 
+    # qid 3 exercises ENGINE-tokenizer parity on the query side (round-5
+    # review): `def-return` must resolve to the lexicon terms `def`,
+    # `return` — identical results to qid 0 — not stay a raw hyphenated
+    # token that exists in no lexicon this engine builds
     qfile = tmp_path / "q.txt"
-    qfile.write_text("def return\nclass\nzzznope\n")
+    qfile.write_text("def return\nclass\nzzznope\ndef-return\n")
     buf = io.StringIO()
     with redirect_stdout(buf):
         cli.main(["query", "--index", out_dir, "--queries", str(qfile), "--k", "3"])
@@ -225,6 +229,12 @@ def test_cli_build_and_query(tmp_path, spark):
     assert len(lines) > 0
     qids = {int(l.split("\t")[0]) for l in lines}
     assert 0 in qids and 1 in qids and 2 not in qids  # unknown term → no hits
+    assert 3 in qids
+    by_qid = {}
+    for l in lines:
+        p = l.split("\t")
+        by_qid.setdefault(int(p[0]), []).append(p[1:])
+    assert by_qid[3] == by_qid[0]
 
 
 def test_cli_query_per_query_stats(tmp_path, spark):
