@@ -355,7 +355,11 @@ class IndexStore:
                 "sb_size": sb_size,
                 "source": source,
             }
-            (self.root / "_index.json").write_text(json.dumps(stats, indent=2))
+            # tmp + rename: a crash mid-write must leave either the old
+            # complete _index.json or none — never truncated JSON
+            tmp = self.root / "_index.json.tmp"
+            tmp.write_text(json.dumps(stats, indent=2))
+            os.replace(tmp, self.root / "_index.json")
             self._append_manifest(
                 {
                     "unit": "_index",

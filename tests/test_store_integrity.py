@@ -104,6 +104,37 @@ def test_crashed_rewrite_invalidates_stale_lines(tmp_path, spark, synth_idx):
     )
 
 
+def test_legacy_fingerprint_store_rewrites_cleanly(tmp_path, spark, synth_idx):
+    """A store written BEFORE the fingerprint covered write arguments
+    (its manifest lines hash only asdict(cfg)) must be treated as fully
+    incomplete by the new code — one deterministic full rewrite, never a
+    mixed-fingerprint manifest — and converge to a no-op afterwards."""
+    import hashlib
+    from dataclasses import asdict
+
+    store = IndexStore(str(tmp_path / "legacy"))
+    store.write_checkpointed(synth_idx, source="synth", n_buckets=N_BUCKETS)
+    legacy_fp = hashlib.sha256(
+        json.dumps(dict(asdict(synth_idx.cfg)), sort_keys=True).encode()
+    ).hexdigest()[:16]
+    rows = [
+        {**json.loads(l), "config": legacy_fp}
+        for l in store.manifest_path.read_text().splitlines()
+        if l.strip()
+    ]
+    store.manifest_path.write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+    rewritten = store.write_checkpointed(
+        synth_idx, source="synth", n_buckets=N_BUCKETS
+    )
+    assert rewritten == TOTAL_UNITS
+    fps = {r["config"] for r in store.completed_units().values()}
+    assert len(fps) == 1 and legacy_fp not in fps
+    assert store.write_checkpointed(
+        synth_idx, source="synth", n_buckets=N_BUCKETS
+    ) == 0
+
+
 def test_from_store_missing_required_unit_is_loud(tmp_path, spark, synth_idx):
     """A store whose lexicon (or any blocks bucket) has no manifest line
     must refuse to serve — there is no fallback for required tables, and
