@@ -36,12 +36,15 @@ def serving_child(cores: int, sf_dir: str) -> None:
     from ds2s import query as Q
     from ds2s.queryset import DEFAULT_K, QUERIES
 
+    from scaling import proc_tree_cpu_s
+
     idx = E._index(spark, sf_dir)
     sidx = E._sindex(spark, sf_dir)
     sidx.blocks.count()
     sidx.wand.count()
     qdf = Q.queries_df(spark)
     walls: dict[str, float] = {}
+    cpu_s: dict[str, float] = {}
     for algo in ("bmw", "maxscore", "wand", "exact_or"):
         def run():
             df = (
@@ -53,16 +56,21 @@ def serving_child(cores: int, sf_dir: str) -> None:
 
         run()  # untimed warm-up (JIT/codegen, python worker spin-up)
         best = float("inf")
+        best_cpu = float("inf")
         for _ in range(2):
+            c0 = proc_tree_cpu_s()
             t0 = time.perf_counter()
             run()
             best = min(best, time.perf_counter() - t0)
+            best_cpu = min(best_cpu, proc_tree_cpu_s() - c0)
         walls[algo] = round(best, 3)
+        cpu_s[algo] = round(best_cpu, 2)
     print(
         json.dumps(
             {
                 "cores": cores,
                 "walls": walls,
+                "cpu_s": cpu_s,
                 "queries_per_s": {
                     a: round(len(QUERIES) / w, 2) for a, w in walls.items()
                 },
@@ -117,9 +125,18 @@ def main() -> None:
             "driver-verified at sf0.01"
         ),
     }
+    # per-query process-tree CPU-seconds beside each wall: CPU is the
+    # interference-resistant signal on this shared box (neighbor load
+    # inflates walls 13-230× but barely changes this tree's CPU — the
+    # round-4/5 scaling campaigns), so round-over-round serving deltas
+    # stay signable even when the bench lands in a noisy window
+    from scaling import proc_tree_cpu_s
+
     runs: list[dict[str, float]] = []
+    cpu_runs: list[dict[str, float]] = []
     for rep in range(reps):
         timings: dict[str, float] = {}
+        cpus_q: dict[str, float] = {}
         E._IDX_CACHE.clear()
         E._SIDX_CACHE.clear()
         E._STORE_CACHE.clear()
@@ -127,6 +144,7 @@ def main() -> None:
         E._PAIRS_CACHE.clear()
         spark.catalog.clearCache()
 
+        c0 = proc_tree_cpu_s()
         t0 = time.perf_counter()
         idx = E._index(spark, sf_dir)
         # materialize every persisted table the queries rely on
@@ -135,38 +153,49 @@ def main() -> None:
         idx.lexicon.count()
         idx.postings.count()
         timings["build"] = round(time.perf_counter() - t0, 3)
+        cpus_q["build"] = round(proc_tree_cpu_s() - c0, 2)
 
         # the compressed serving index (block encode + len payloads +
         # block-max) gets its own timing entry instead of hiding inside
         # whichever query touches it first
+        c0 = proc_tree_cpu_s()
         t0 = time.perf_counter()
         sidx = E._sindex(spark, sf_dir)
         sidx.blocks.count()
         sidx.wand.count()
         timings["sidx_encode"] = round(time.perf_counter() - t0, 3)
+        cpus_q["sidx_encode"] = round(proc_tree_cpu_s() - c0, 2)
 
         # the store round-trip's WRITE (write_checkpointed + from_store
         # load) is its own timed entry, pre-warming the store cache —
         # bmw_topk_store below then times only the serving query, so a
         # serving regression can't hide inside the first-call store build
         # (round-4 verdict item 3)
+        c0 = proc_tree_cpu_s()
         t0 = time.perf_counter()
         E._store_sindex(spark, sf_dir)
         timings["store_write"] = round(time.perf_counter() - t0, 3)
+        cpus_q["store_write"] = round(proc_tree_cpu_s() - c0, 2)
 
         for name, fn in E.queries().items():
             if name in skip:
                 continue
+            c0 = proc_tree_cpu_s()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            cpus_q[name] = round(proc_tree_cpu_s() - c0, 2)
         runs.append(timings)
+        cpu_runs.append(cpus_q)
 
     timings = {k: min(r[k] for r in runs) for k in runs[0]}
     spread = {
         k: [min(r[k] for r in runs), max(r[k] for r in runs)] for k in runs[0]
     }
+    # min across reps = steady-state CPU (rep 1 carries JIT/codegen CPU),
+    # matching the best-wall convention above
+    queries_cpu = {k: min(r[k] for r in cpu_runs) for k in cpu_runs[0]}
 
     # ANN quality metric (judge round-1 item 10): recall@10 of the
     # LSH-bucketed path vs the exact brute-force oracle.
@@ -396,6 +425,7 @@ def main() -> None:
         "ivf_recall_at10_uniform": ivf_recall_uniform,
         "ivf_cand_frac_uniform": ivf_cand_uniform,
         "queries": timings,
+        "queries_cpu_s": queries_cpu,
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
@@ -418,6 +448,15 @@ def main() -> None:
     }
     if qps8:
         lean["queries_per_s_local8"] = qps8["queries_per_s"]
+    # the signable serving signal for the driver-recorded line: CPU-seconds
+    # of the four top-k paths + the store-backed query (walls above are
+    # only readable against the host_probe stamp)
+    lean["serving_cpu_s"] = {
+        k: queries_cpu[k]
+        for k in ("bmw_topk", "maxscore_topk", "wand_topk",
+                  "ranked_or_topk", "bmw_topk_store")
+        if k in queries_cpu
+    }
     lean["full_report"] = "BENCH_LOCAL.json"
     line = json.dumps(lean)
     # The driver records only the LAST 2000 chars of stdout: an oversized

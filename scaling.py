@@ -135,33 +135,7 @@ def child(cores: int) -> None:
         )
         # process-tree CPU from /proc (py4j cannot dispatch the
         # com.sun.management getProcessCpuTime on the non-public impl)
-        import collections
-        kids = collections.defaultdict(list)
-        for p in os.listdir("/proc"):
-            if not p.isdigit():
-                continue
-            try:
-                # parse AFTER the ')' that closes comm — a naive split
-                # mis-parents any process whose comm contains a space and
-                # silently drops its subtree's CPU (round-5 review; the
-                # CPU-field parse below already does this)
-                s = open(f"/proc/{p}/stat").read()
-                ppid = int(s[s.rindex(")") + 2:].split()[1])
-                kids[ppid].append(int(p))
-            except (OSError, ValueError):
-                pass
-        cpu_j, stack = 0, [os.getpid()]
-        while stack:
-            pid = stack.pop()
-            try:
-                s = open(f"/proc/{pid}/stat").read()
-                parts = s[s.rindex(")") + 2:].split()
-                cpu_j += (int(parts[11]) + int(parts[12])
-                          + int(parts[13]) + int(parts[14]))
-            except OSError:
-                pass
-            stack.extend(kids.get(pid, []))
-        return gc_ms, cpu_j / 100.0
+        return gc_ms, proc_tree_cpu_s()
 
     # timed: the full index build — tokenize → invert → lexicon/sizes →
     # encoded 128-posting block table + block-max metadata (the product
@@ -236,6 +210,42 @@ def child(cores: int) -> None:
         )
     )
     spark.stop()
+
+
+def proc_tree_cpu_s(root_pid: int | None = None) -> float:
+    """Total CPU-seconds (utime+stime+cutime+cstime) of root_pid's /proc
+    subtree — default: this process, i.e. the python driver plus the local
+    Spark JVM and its pyspark worker daemons.  CPU-seconds are the
+    interference-resistant signal on this shared box (neighbor load inflates
+    walls 13-230× but barely changes this tree's CPU accounting — round-4/5
+    campaigns), so per-query CPU deltas stay signable in any window."""
+    import collections
+
+    kids = collections.defaultdict(list)
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            # parse AFTER the ')' that closes comm — a naive split
+            # mis-parents any process whose comm contains a space and
+            # silently drops its subtree's CPU
+            s = open(f"/proc/{p}/stat").read()
+            ppid = int(s[s.rindex(")") + 2:].split()[1])
+            kids[ppid].append(int(p))
+        except (OSError, ValueError):
+            pass
+    cpu_j, stack = 0, [root_pid or os.getpid()]
+    while stack:
+        pid = stack.pop()
+        try:
+            s = open(f"/proc/{pid}/stat").read()
+            parts = s[s.rindex(")") + 2:].split()
+            cpu_j += (int(parts[11]) + int(parts[12])
+                      + int(parts[13]) + int(parts[14]))
+        except OSError:
+            pass
+        stack.extend(kids.get(pid, []))
+    return cpu_j / 100.0
 
 
 def _stream_once(_arg) -> float:
