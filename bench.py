@@ -91,6 +91,13 @@ def main() -> None:
 
     from ds2s.session import get_spark
 
+    # stamp the interference probe BEFORE the timed reps as well as after
+    # (report build below): a window that collapses mid-bench is then
+    # visible in the artifact instead of hiding behind a single end-stamp
+    from scaling import host_probe
+
+    probe_start = host_probe()
+
     spark = get_spark(app=f"ds2s-bench-{sf}", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -402,14 +409,13 @@ def main() -> None:
     # the 32-proc/1-proc streaming ratio is ~1.2-1.5; it was measured at
     # 13-230× during round-4 windows — readers should discount absolute
     # walls accordingly (the CORRECTNESS artifacts are noise-immune).
-    from scaling import host_probe
-
     total = round(sum(timings.values()), 3)
     report = {
         "metric": "ds2s_build_plus_queries",
         "value": total,
         "unit": "sec",
         "host_probe": host_probe(),
+        "host_probe_start": probe_start,
         "bench_reps": reps,
         "queries_per_s": qps,
         "serving_local8": qps8,

@@ -75,9 +75,22 @@ def try_scaling() -> None:
         log(f"scaling: ADOPTED fresh {fresh.get('value')}")
 
 
+def _worst_probe(report) -> float:
+    """Worst of the start/end interference stamps (older artifacts carry
+    only the end stamp)."""
+    if not report:
+        return float("inf")
+    ratios = [
+        report.get(k, {}).get("ratio")
+        for k in ("host_probe", "host_probe_start")
+    ]
+    ratios = [r for r in ratios if r is not None]
+    return max(ratios) if ratios else float("inf")
+
+
 def try_bench() -> None:
     prior = _read(LOCAL)
-    prior_ratio = (prior or {}).get("host_probe", {}).get("ratio", float("inf"))
+    prior_ratio = _worst_probe(prior)
     try:
         subprocess.run([sys.executable, str(REPO / "bench.py")],
                        cwd=REPO, env=dict(os.environ), timeout=3600, check=False)
@@ -87,7 +100,7 @@ def try_bench() -> None:
             LOCAL.write_text(json.dumps(prior, indent=2) + "\n")
         return
     fresh = _read(LOCAL)
-    ratio = (fresh or {}).get("host_probe", {}).get("ratio", float("inf"))
+    ratio = _worst_probe(fresh)
     if prior is not None and ratio >= prior_ratio:
         _restore(LOCAL, prior, "BENCH_LOCAL_retry.json")
         log(f"bench: adopted prior (probe {prior_ratio}x; fresh {ratio}x)")
@@ -106,14 +119,19 @@ def main() -> None:
             log(f"probe {p['ratio']}")
             time.sleep(poll_s)
             continue
-        log(f"quiet window (probe {p['ratio']}) — scaling harness first")
-        try_scaling()
+        # bench first: it is the shorter job and — post allocator fix —
+        # the scaling gate's adopt-if-better bar (0.471, measured against
+        # a pre-fix slow 8-core baseline) is unlikely to be beaten by the
+        # faster-everywhere current code, so the bench recapture is the
+        # artifact a quiet window actually improves
+        log(f"quiet window (probe {p['ratio']}) — bench capture first")
+        try_bench()
         p2 = host_probe()
         if p2["ratio"] > quiet:
-            log(f"window closed after scaling (probe {p2['ratio']})")
+            log(f"window closed after bench (probe {p2['ratio']})")
             continue
-        log(f"still quiet (probe {p2['ratio']}) — bench capture")
-        try_bench()
+        log(f"still quiet (probe {p2['ratio']}) — scaling harness")
+        try_scaling()
     log("guard loop done")
 
 
