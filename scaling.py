@@ -97,7 +97,8 @@ def child(cores: int) -> None:
         """ONE pass emits payloads + len payloads + block-max metadata;
         len rides inside tf — no doc-keyed join of the posting table."""
         postings = idx.tf.select("term_id", "doc_id", "tf", "len", "df")
-        return blocks_from_tf(postings, idx.n_docs, avg_len=idx.avg_len)
+        return blocks_from_tf(postings, idx.n_docs, avg_len=idx.avg_len,
+                              max_df=idx.max_df)
 
     # untimed warm-up on a small slice: JIT/codegen compilation + python
     # worker spin-up are one-time JVM costs, not per-build costs (ds2i's
@@ -260,22 +261,46 @@ def _stream_once(_arg) -> float:
     return time.perf_counter() - t0
 
 
+def _spin_once(_arg) -> float:
+    """One ALU-bound work unit (no memory streaming): separates CPU-core
+    contention from memory-bus contention in the probe."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(3_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
 def host_probe() -> dict:
     """Shared-host interference probe: wall of one memory-streaming numpy
     proc vs 32 concurrent ones.  On a quiet box the 32-proc/1-proc wall
     ratio is ~1.2-1.5 (measured round 3); under neighbor load it was
     measured at 13-230× (round 4) — at which point an 8-vs-32-core
     efficiency number measures the NEIGHBORS, not the code.  The ratio is
-    stamped into the report so the artifact carries its own validity."""
+    stamped into the report so the artifact carries its own validity.
+
+    ``cpu_ratio`` is the ALU-spin companion: the same 1-vs-32 shape with
+    no memory traffic.  Round 5 measured cpu_ratio 1.5 against stream
+    ratio 124 in the SAME minute — the neighbors saturate the memory bus
+    while leaving cores schedulable, which is exactly the regime where the
+    bandwidth-bound blocks stage stops scaling but ALU-bound kernels
+    don't.  Reading both stamps tells you WHICH contention an artifact
+    was captured under."""
     import multiprocessing as mp
 
     t1 = min(_stream_once(0) for _ in range(2))
     with mp.Pool(32) as p:
         walls = p.map(_stream_once, range(32))
+    c1 = min(_spin_once(0) for _ in range(2))
+    with mp.Pool(32) as p:
+        spins = p.map(_spin_once, range(32))
     return {
         "one_proc_s": round(t1, 3),
         "par32_max_s": round(max(walls), 3),
         "ratio": round(max(walls) / t1, 2),
+        "cpu_one_s": round(c1, 3),
+        "cpu_par32_max_s": round(max(spins), 3),
+        "cpu_ratio": round(max(spins) / c1, 2),
     }
 
 
