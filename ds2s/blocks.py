@@ -143,6 +143,141 @@ def encode_blocks(
     return flat.mapInPandas(enc, schema=BLOCKS_SCHEMA)
 
 
+def _blocks_term_plan(
+    tf: DataFrame,
+    universe: int,
+    codec: str,
+    bs: int,
+    scored: bool,
+    avg_len: float | None,
+    scorer,
+    sp: int,
+) -> DataFrame:
+    """Single-exchange block build for collections whose hottest term fits
+    one shuffle partition (chosen cost-based from the lexicon's max df —
+    see ``blocks_from_tf``).
+
+    Hash-partitioning the posting table by ``term_id`` alone makes every
+    term WHOLLY partition-local, so one Arrow kernel does sort → global
+    block cut → codec encode → block-max in a single pass: global
+    positions need no cross-salt window (the term is local), and block
+    boundaries need no fragment re-cut or merge exchange (they are just
+    multiples of ``block_size`` in the term's sorted postings).  The
+    posting bytes cross the bus ONCE, against three exchanges for the
+    salted window plan — on a memory-bandwidth-bound box that is the
+    blocks stage's dominant cost.  Output is row-identical to the window
+    plan (pytest-pinned).
+    """
+    cols = ["term_id", "doc_id", "tf"] + (["len"] if scored else [])
+    shuffled = tf.select(*cols).repartition(sp, "term_id")
+    k1, b_p = scorer.k1, scorer.b
+    eps = scorer.idf_epsilon
+    n_f = float(universe)
+    avg = float(avg_len) if avg_len else 1.0
+    out_cols = ["term_id", "block_id", "n", "first_doc", "last_doc",
+                "doc_bytes", "tf_bytes"]
+    if scored:
+        out_cols += ["len_bytes", "block_max_score"]
+    emit_every = 8192  # blocks per output RecordBatch (bounds builder lists)
+    # snapshot DRIVER-side at plan time (workers are long-lived daemons
+    # whose environ predates the caller's setting) and close over it
+    max_rows = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
+
+    def term_iter(batches) -> Iterator:
+        import pyarrow as pa
+
+        t_p, d_p, f_p, l_p = [], [], [], []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols_b = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            t_p.append(cols_b["term_id"].to_numpy(zero_copy_only=True))
+            d_p.append(cols_b["doc_id"].to_numpy(zero_copy_only=True))
+            f_p.append(cols_b["tf"].to_numpy(zero_copy_only=True))
+            if scored:
+                l_p.append(cols_b["len"].to_numpy(zero_copy_only=True))
+        if not t_p:
+            return
+        n_rows = sum(len(a) for a in t_p)
+        if n_rows > max_rows:
+            raise RuntimeError(
+                f"blocks_from_tf term plan: shuffle partition holds "
+                f"{n_rows} postings > bound {max_rows}; this plan requires "
+                "a term's full posting list per partition — set "
+                "DS2S_BLOCKS_PLAN=window (salted multi-exchange plan) or "
+                "raise spark.sql.shuffle.partitions."
+            )
+        t_arr = np.concatenate(t_p)
+        d_arr = np.concatenate(d_p).astype("<i8", copy=False)
+        f_arr = np.concatenate(f_p).astype("<i4")
+        l_arr = np.concatenate(l_p).astype("<i4") if scored else None
+        del t_p, d_p, f_p, l_p
+        order = np.lexsort((d_arr, t_arr))
+        t_arr, d_arr, f_arr = t_arr[order], d_arr[order], f_arr[order]
+        if scored:
+            l_arr = l_arr[order]
+        change = np.flatnonzero(np.diff(t_arr) != 0) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(t_arr)]))
+
+        out: dict[str, list] = {k: [] for k in out_cols}
+
+        def emit_batch():
+            arrays = [
+                pa.array(np.asarray(out["term_id"], dtype=np.int32)),
+                pa.array(np.asarray(out["block_id"], dtype=np.int32)),
+                pa.array(np.asarray(out["n"], dtype=np.int32)),
+                pa.array(np.asarray(out["first_doc"], dtype=np.int64)),
+                pa.array(np.asarray(out["last_doc"], dtype=np.int64)),
+                pa.array(out["doc_bytes"], type=pa.binary()),
+                pa.array(out["tf_bytes"], type=pa.binary()),
+            ]
+            if scored:
+                arrays += [
+                    pa.array(out["len_bytes"], type=pa.binary()),
+                    pa.array(
+                        np.asarray(out["block_max_score"], dtype=np.float64)
+                    ),
+                ]
+            return pa.RecordBatch.from_arrays(arrays, names=out_cols)
+
+        for s0, e0 in zip(starts, ends):
+            term_id = int(t_arr[s0])
+            if scored:
+                # df ≡ the term's posting count, whole term is local —
+                # same value the window plan recovers by fragment sums
+                dfv = float(e0 - s0)
+                idf = max(eps, np.log((n_f - dfv + 0.5) / (dfv + 0.5))) * (1.0 + k1)
+            for i in range(s0, e0, bs):
+                j = min(i + bs, e0)
+                d = d_arr[i:j].astype(np.uint64, copy=False)
+                t = f_arr[i:j].astype(np.uint64)
+                db, tb = _encode_one(d, t, universe, codec)
+                out["term_id"].append(term_id)
+                out["block_id"].append((i - s0) // bs)
+                out["n"].append(j - i)
+                out["first_doc"].append(int(d[0]))
+                out["last_doc"].append(int(d[-1]))
+                out["doc_bytes"].append(db)
+                out["tf_bytes"].append(tb)
+                if scored:
+                    ln = l_arr[i:j].astype(np.uint64)
+                    out["len_bytes"].append(encode_tfs(ln, "gvb"))
+                    tf_f = t.astype(np.float64)
+                    contrib = idf * tf_f / (
+                        tf_f + k1 * (1.0 - b_p + b_p * ln.astype(np.float64) / avg)
+                    )
+                    out["block_max_score"].append(float(contrib.max()))
+                if len(out["term_id"]) >= emit_every:
+                    yield emit_batch()
+                    out = {k: [] for k in out}
+        if out["term_id"]:
+            yield emit_batch()
+
+    schema = BLOCKS_SCHEMA_SCORED if scored else BLOCKS_SCHEMA
+    return shuffled.mapInArrow(term_iter, schema=schema)
+
+
 def blocks_from_tf(
     tf: DataFrame,
     n_docs: int,
@@ -151,6 +286,7 @@ def blocks_from_tf(
     block_size: int | None = None,
     n_salt: int | None = None,
     avg_len: float | None = None,
+    max_df: int | None = None,
     _stop_at: str | None = None,
 ) -> DataFrame:
     """Flat postings (term_id, doc_id, tf) → encoded block rows WITHOUT the
@@ -197,6 +333,37 @@ def blocks_from_tf(
     scored = avg_len is not None and "len" in tf.columns and "df" in tf.columns
     scorer = cfg.scorer
 
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # 'auto' on AQE auto-partitioning platforms
+        sp = spark.sparkContext.defaultParallelism
+
+    # COST-BASED PLAN CHOICE (the broadcast-vs-SMJ analogue for this
+    # operator).  ``max_df`` is the hottest term's posting count — the
+    # caller reads it off the already-materialized lexicon (one tiny agg,
+    # ``InvertedIndex.max_df``).  When the hottest term fits comfortably
+    # inside one shuffle partition, the TERM plan wins outright: ONE
+    # exchange of the posting bytes and a single sort+cut+encode kernel,
+    # versus this function's three exchanges (postings, fragment window,
+    # merge) — measured decisive on the bandwidth-bound 32-core box.
+    # When max_df is unknown or the hottest term could blow the partition
+    # buffer (10^12-doc collections: a stopword's list is TBs), the salted
+    # window plan below is the scale-safe fallback — that is exactly the
+    # skew machinery the north rule asks for.  DS2S_BLOCKS_PLAN=term|window
+    # forces either (A/B probes, tests).
+    forced = os.environ.get("DS2S_BLOCKS_PLAN", "")
+    bound = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
+    pick_term = (
+        forced == "term"
+        or (forced != "window"
+            and max_df is not None and int(max_df) <= bound // 4
+            and _stop_at is None)
+    )
+    if pick_term:
+        return _blocks_term_plan(
+            tf, universe, codec, bs, scored, avg_len, scorer, sp
+        )
+
     # salt only where it pays: a cold term's run needs no splitting, and
     # salting EVERY term multiplies the run count by n_salt (416k runs on
     # a 52k-term probe — per-run overhead and offset-table size 8×).  With
@@ -230,10 +397,6 @@ def blocks_from_tf(
     # boundary — the event-log profile showed 2112 CPU-s (141 s GC) in the
     # split stage alone at 50 M postings, almost all of it array
     # (de)serialization, against 0.45 s of actual Python kernel work.
-    try:
-        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # 'auto' on AQE auto-partitioning platforms
-        sp = spark.sparkContext.defaultParallelism
     shuffled = salted.repartition(sp, "term_id", "salt")
 
     frag_schema = (
@@ -418,13 +581,20 @@ def blocks_from_tf(
 
     # merge + encode partition-wise (NOT one applyInPandas group per block:
     # per-group pandas overhead × n_blocks dwarfs the actual encode).  The
-    # repartition co-locates a block's fragments; the sort puts them in
-    # (term, block, global-position) order so change-detection merging
-    # streams through Arrow batches, carrying the open block across batch
-    # boundaries.
-    sorted_frags = frags.repartition(sp, "term_id", "block_id").sortWithinPartitions(
-        "term_id", "block_id", "gstart"
-    )
+    # repartition co-locates a block's fragments AND load-balances the
+    # encode across (term, block) — without it the Zipf-hot terms'
+    # encode work concentrates in their window task's output partition.
+    # (The window output is already contiguous and gstart-ordered per
+    # term, so skipping this exchange is CORRECT — merely slower under
+    # skew; DS2S_MERGE_RESHUFFLE=0 selects that variant for A/B probes,
+    # MERGE_AB.jsonl holds interleaved measurements both ways.)  The
+    # single-exchange fast path is the TERM plan above, not this knob.
+    if os.environ.get("DS2S_MERGE_RESHUFFLE", "1") == "1":
+        sorted_frags = frags.repartition(
+            sp, "term_id", "block_id"
+        ).sortWithinPartitions("term_id", "block_id", "gstart")
+    else:
+        sorted_frags = frags
 
     out_cols = ["term_id", "block_id", "n", "first_doc", "last_doc",
                 "doc_bytes", "tf_bytes"]

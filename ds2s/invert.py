@@ -167,6 +167,20 @@ class InvertedIndex:
             except Exception:
                 pass
 
+    _max_df_cache: int | None = None
+
+    @property
+    def max_df(self) -> int:
+        """Hottest term's posting count — ONE tiny agg over the persisted
+        lexicon (milliseconds; the lexicon is always materialized by
+        build_index).  Drives blocks_from_tf's cost-based plan choice:
+        max_df bounds the largest term-local buffer the single-exchange
+        term plan would need."""
+        if self._max_df_cache is None:
+            row = self.lexicon.agg(F.max("df")).collect()[0]
+            self._max_df_cache = int(row[0] or 0)
+        return self._max_df_cache
+
 
 def build_index(
     corpus: DataFrame,

@@ -456,7 +456,8 @@ class ServingIndex:
             # no doc-keyed join of the posting table
             postings = idx.tf.select("term_id", "doc_id", "tf", "len", "df")
             blocks = blocks_from_tf(
-                postings, idx.n_docs, self.cfg, codec=codec, avg_len=idx.avg_len
+                postings, idx.n_docs, self.cfg, codec=codec,
+                avg_len=idx.avg_len, max_df=idx.max_df,
             )
         self._init_tables(
             lexicon=idx.lexicon,

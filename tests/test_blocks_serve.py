@@ -91,6 +91,63 @@ def test_blocks_from_tf_equals_array_route(synth_idx, codec):
     pd.testing.assert_frame_equal(via_tf, via_arrays)
 
 
+def _plan_df(idx, plan: str, scored: bool, monkeypatch) -> pd.DataFrame:
+    monkeypatch.setenv("DS2S_BLOCKS_PLAN", plan)
+    cols = ["term_id", "doc_id", "tf"] + (["len", "df"] if scored else [])
+    out = (
+        blocks_from_tf(
+            idx.tf.select(*cols), idx.n_docs,
+            avg_len=idx.avg_len if scored else None,
+        )
+        .orderBy("term_id", "block_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    for c in ("doc_bytes", "tf_bytes", "len_bytes"):
+        if c in out.columns:
+            out[c] = out[c].map(bytes)
+    return out
+
+
+@pytest.mark.parametrize("scored", [False, True])
+def test_term_plan_equals_window_plan(synth_idx, monkeypatch, scored):
+    """The single-exchange TERM plan (whole term per partition: sort, cut,
+    encode, block-max in one kernel) is row-identical to the salted
+    window/merge plan — including len payloads and block-max scores in
+    scored mode.  Pins the cost-based plan switch to zero result drift."""
+    window = _plan_df(synth_idx, "window", scored, monkeypatch)
+    term = _plan_df(synth_idx, "term", scored, monkeypatch)
+    pd.testing.assert_frame_equal(term, window)
+
+
+def test_term_plan_partition_bound_guard(synth_idx, monkeypatch):
+    """A partition holding more postings than the declared buffer bound
+    fails loudly with the window-plan hint, not a worker OOM."""
+    monkeypatch.setenv("DS2S_BLOCKS_PLAN", "term")
+    monkeypatch.setenv("DS2S_SPLIT_MAX_PARTITION_ROWS", "10")
+    with pytest.raises(Exception, match="DS2S_BLOCKS_PLAN=window"):
+        blocks_from_tf(
+            synth_idx.tf.select("term_id", "doc_id", "tf"), synth_idx.n_docs
+        ).count()
+
+
+def test_auto_plan_picks_term_when_max_df_fits(synth_idx, monkeypatch):
+    """Cost-based selection: with max_df supplied and small, the plan is
+    the single-exchange term build (no window/merge exchanges in the
+    physical plan); with max_df over the bound it falls back to the
+    salted window plan."""
+    monkeypatch.delenv("DS2S_BLOCKS_PLAN", raising=False)
+    tfq = synth_idx.tf.select("term_id", "doc_id", "tf")
+    term_plan = blocks_from_tf(
+        tfq, synth_idx.n_docs, max_df=int(synth_idx.max_df)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in term_plan
+    window_plan = blocks_from_tf(
+        tfq, synth_idx.n_docs, max_df=1 << 40
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "window" in window_plan.lower()
+
+
 def test_auto_codec_uses_interp_on_fixture(synth_idx):
     """Under ``auto``, binary interpolative coding actually wins real
     fixture blocks (short rare-term lists), not just synthetic shapes."""
