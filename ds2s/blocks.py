@@ -157,7 +157,7 @@ def _blocks_term_plan(
     one shuffle partition (chosen cost-based from the lexicon's max df —
     see ``blocks_from_tf``).
 
-    Hash-partitioning the posting table by ``term_id`` alone makes every
+    RANGE-partitioning the posting table by ``term_id`` alone makes every
     term WHOLLY partition-local, so one Arrow kernel does sort → global
     block cut → codec encode → block-max in a single pass: global
     positions need no cross-salt window (the term is local), and block
@@ -167,9 +167,20 @@ def _blocks_term_plan(
     salted window plan — on a memory-bandwidth-bound box that is the
     blocks stage's dominant cost.  Output is row-identical to the window
     plan (pytest-pinned).
+
+    Range, not hash: RangePartitioner's sampler sees a Zipf-hot term's
+    rows in proportion to its df, so it draws boundaries that equalize
+    ROW counts per partition (a hot term gets a partition nearly to
+    itself; cold terms pack together) while same-key rows still land in
+    one partition.  ``repartition(sp, "term_id")`` instead hands the
+    hottest term's whole list to a random partition PLUS that
+    partition's 1/sp hash-share of everything else — a straggler that
+    the interleaved A/B caught as a 15-20% wall regression vs the
+    window plan (MERGE_AB.jsonl rounds 1-3) before this line switched
+    to range.
     """
     cols = ["term_id", "doc_id", "tf"] + (["len"] if scored else [])
-    shuffled = tf.select(*cols).repartition(sp, "term_id")
+    shuffled = tf.select(*cols).repartitionByRange(sp, "term_id")
     k1, b_p = scorer.k1, scorer.b
     eps = scorer.idf_epsilon
     n_f = float(universe)
@@ -338,28 +349,30 @@ def blocks_from_tf(
     except ValueError:  # 'auto' on AQE auto-partitioning platforms
         sp = spark.sparkContext.defaultParallelism
 
-    # COST-BASED PLAN CHOICE (the broadcast-vs-SMJ analogue for this
-    # operator).  ``max_df`` is the hottest term's posting count — the
-    # caller reads it off the already-materialized lexicon (one tiny agg,
-    # ``InvertedIndex.max_df``).  When the hottest term fits comfortably
-    # inside one shuffle partition, the TERM plan wins outright: ONE
-    # exchange of the posting bytes and a single sort+cut+encode kernel,
-    # versus this function's three exchanges (postings, fragment window,
-    # merge) — measured decisive on the bandwidth-bound 32-core box.
-    # When max_df is unknown or the hottest term could blow the partition
-    # buffer (10^12-doc collections: a stopword's list is TBs), the salted
-    # window plan below is the scale-safe fallback — that is exactly the
-    # skew machinery the north rule asks for.  DS2S_BLOCKS_PLAN=term|window
-    # forces either (A/B probes, tests).
+    # PLAN CHOICE, settled by measurement (MERGE_AB.jsonl, interleaved
+    # window/term rounds at 100.8M postings, 32 cores): the salted WINDOW
+    # plan below is the default for every collection.  The single-exchange
+    # TERM plan (whole term per partition, one sort+cut+encode kernel)
+    # looks cheaper on exchange count, but its second exchange here moves
+    # already-ENCODED fragments (~10× smaller than raw postings), and —
+    # decisively — salting parallelizes a Zipf-hot term's ENCODE across
+    # fragments while the term plan serializes that term's encode inside
+    # one task.  Under a skewed df distribution the hot-term task is the
+    # critical path: window best/median 19.1/20.7 s vs term 22.2/22.4 s
+    # even after range-balanced partitioning (hash-partitioned term was
+    # 24.7/24.9 s).  DS2S_BLOCKS_PLAN=term keeps the term plan selectable
+    # for flat-df collections and A/B probes; ``max_df`` (hottest term's
+    # posting count, one tiny agg off the caller's materialized lexicon)
+    # guards a forced term pick against partition-buffer blowout.
     forced = os.environ.get("DS2S_BLOCKS_PLAN", "")
     bound = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
-    pick_term = (
-        forced == "term"
-        or (forced != "window"
-            and max_df is not None and int(max_df) <= bound // 4
-            and _stop_at is None)
-    )
-    if pick_term:
+    if forced == "term" and max_df is not None and int(max_df) > bound:
+        raise ValueError(
+            f"DS2S_BLOCKS_PLAN=term forced but max_df {max_df} exceeds the "
+            f"partition-buffer bound {bound}; the term plan needs a term's "
+            "full posting list in one partition — use the window plan."
+        )
+    if forced == "term":
         return _blocks_term_plan(
             tf, universe, codec, bs, scored, avg_len, scorer, sp
         )

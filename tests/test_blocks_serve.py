@@ -131,21 +131,25 @@ def test_term_plan_partition_bound_guard(synth_idx, monkeypatch):
         ).count()
 
 
-def test_auto_plan_picks_term_when_max_df_fits(synth_idx, monkeypatch):
-    """Cost-based selection: with max_df supplied and small, the plan is
-    the single-exchange term build (no window/merge exchanges in the
-    physical plan); with max_df over the bound it falls back to the
-    salted window plan."""
+def test_default_plan_is_window_term_forced_only(synth_idx, monkeypatch):
+    """The salted window plan is the default for every collection (the
+    MERGE_AB.jsonl verdict: salting parallelizes hot-term encode, so the
+    window plan beats the single-exchange term plan under Zipf df);
+    DS2S_BLOCKS_PLAN=term forces the term plan, and a forced term pick
+    with max_df over the partition-buffer bound fails loudly."""
     monkeypatch.delenv("DS2S_BLOCKS_PLAN", raising=False)
     tfq = synth_idx.tf.select("term_id", "doc_id", "tf")
+    default_plan = blocks_from_tf(
+        tfq, synth_idx.n_docs, max_df=int(synth_idx.max_df)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "window" in default_plan.lower()
+    monkeypatch.setenv("DS2S_BLOCKS_PLAN", "term")
     term_plan = blocks_from_tf(
         tfq, synth_idx.n_docs, max_df=int(synth_idx.max_df)
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in term_plan
-    window_plan = blocks_from_tf(
-        tfq, synth_idx.n_docs, max_df=1 << 40
-    )._jdf.queryExecution().optimizedPlan().toString()
-    assert "window" in window_plan.lower()
+    with pytest.raises(ValueError, match="window plan"):
+        blocks_from_tf(tfq, synth_idx.n_docs, max_df=1 << 40)
 
 
 def test_auto_codec_uses_interp_on_fixture(synth_idx):
