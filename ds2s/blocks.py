@@ -372,7 +372,10 @@ def blocks_from_tf(
             f"partition-buffer bound {bound}; the term plan needs a term's "
             "full posting list in one partition — use the window plan."
         )
-    if forced == "term":
+    if forced == "term" and _stop_at is None:
+        # _stop_at (stage-boundary diagnostics) only exists in the window
+        # plan's staged pipeline; a diag caller keeps the window plan
+        # rather than silently ignoring the knob.
         return _blocks_term_plan(
             tf, universe, codec, bs, scored, avg_len, scorer, sp
         )
