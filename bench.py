@@ -441,9 +441,13 @@ def main() -> None:
     # (BENCH_r01/r02 tails were 1183/1487 and parsed; r03's 2.9 KB line was
     # cut mid-JSON → parsed: null).  Keep the printed line ≤ ~1500 chars
     # and make it the LAST line.
-    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
-        json.dumps(report, indent=2) + "\n"
-    )
+    # tmp + os.replace: a bench killed mid-write must never leave a
+    # truncated BENCH_LOCAL.json for quiet_guard (or the driver) to parse —
+    # same atomicity contract as manifest._index.json
+    target = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    tmp = target.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(report, indent=2) + "\n")
+    os.replace(tmp, target)
     lean = {
         k: report[k]
         for k in (

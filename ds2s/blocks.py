@@ -29,7 +29,7 @@ driver collect.
 from __future__ import annotations
 
 import os
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -89,6 +89,31 @@ def _encode_one(docs: np.ndarray, tfs: np.ndarray, universe: int, codec: str) ->
         best_t = min((encode_tfs(tfs, c) for c in _AUTO_CANDIDATES), key=len)
         return best_d, best_t
     return encode_docs(docs, universe, codec), encode_tfs(tfs, codec)
+
+
+def _blocks_record_batch(out: dict, out_cols: list, scored: bool):
+    """One Arrow RecordBatch of encoded blocks from a kernel's accumulator
+    lists.  Shared by the window plan's merge kernel and the term plan so
+    the two plans cannot drift in output column layout or dtype (their
+    row-identity is pytest-pinned; one definition keeps it pinned by
+    construction)."""
+    import pyarrow as pa
+
+    arrays = [
+        pa.array(np.asarray(out["term_id"], dtype=np.int32)),
+        pa.array(np.asarray(out["block_id"], dtype=np.int32)),
+        pa.array(np.asarray(out["n"], dtype=np.int32)),
+        pa.array(np.asarray(out["first_doc"], dtype=np.int64)),
+        pa.array(np.asarray(out["last_doc"], dtype=np.int64)),
+        pa.array(out["doc_bytes"], type=pa.binary()),
+        pa.array(out["tf_bytes"], type=pa.binary()),
+    ]
+    if scored:
+        arrays += [
+            pa.array(out["len_bytes"], type=pa.binary()),
+            pa.array(np.asarray(out["block_max_score"], dtype=np.float64)),
+        ]
+    return pa.RecordBatch.from_arrays(arrays, names=out_cols)
 
 
 def encode_blocks(
@@ -182,7 +207,6 @@ def _blocks_term_plan(
     cols = ["term_id", "doc_id", "tf"] + (["len"] if scored else [])
     shuffled = tf.select(*cols).repartitionByRange(sp, "term_id")
     k1, b_p = scorer.k1, scorer.b
-    eps = scorer.idf_epsilon
     n_f = float(universe)
     avg = float(avg_len) if avg_len else 1.0
     out_cols = ["term_id", "block_id", "n", "first_doc", "last_doc",
@@ -195,8 +219,6 @@ def _blocks_term_plan(
     max_rows = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
 
     def term_iter(batches) -> Iterator:
-        import pyarrow as pa
-
         t_p, d_p, f_p, l_p = [], [], [], []
         for b in batches:
             if b.num_rows == 0:
@@ -233,32 +255,12 @@ def _blocks_term_plan(
 
         out: dict[str, list] = {k: [] for k in out_cols}
 
-        def emit_batch():
-            arrays = [
-                pa.array(np.asarray(out["term_id"], dtype=np.int32)),
-                pa.array(np.asarray(out["block_id"], dtype=np.int32)),
-                pa.array(np.asarray(out["n"], dtype=np.int32)),
-                pa.array(np.asarray(out["first_doc"], dtype=np.int64)),
-                pa.array(np.asarray(out["last_doc"], dtype=np.int64)),
-                pa.array(out["doc_bytes"], type=pa.binary()),
-                pa.array(out["tf_bytes"], type=pa.binary()),
-            ]
-            if scored:
-                arrays += [
-                    pa.array(out["len_bytes"], type=pa.binary()),
-                    pa.array(
-                        np.asarray(out["block_max_score"], dtype=np.float64)
-                    ),
-                ]
-            return pa.RecordBatch.from_arrays(arrays, names=out_cols)
-
         for s0, e0 in zip(starts, ends):
             term_id = int(t_arr[s0])
             if scored:
                 # df ≡ the term's posting count, whole term is local —
                 # same value the window plan recovers by fragment sums
-                dfv = float(e0 - s0)
-                idf = max(eps, np.log((n_f - dfv + 0.5) / (dfv + 0.5))) * (1.0 + k1)
+                idf = scorer.idf(float(e0 - s0), n_f)
             for i in range(s0, e0, bs):
                 j = min(i + bs, e0)
                 d = d_arr[i:j].astype(np.uint64, copy=False)
@@ -280,10 +282,10 @@ def _blocks_term_plan(
                     )
                     out["block_max_score"].append(float(contrib.max()))
                 if len(out["term_id"]) >= emit_every:
-                    yield emit_batch()
+                    yield _blocks_record_batch(out, out_cols, scored)
                     out = {k: [] for k in out}
         if out["term_id"]:
-            yield emit_batch()
+            yield _blocks_record_batch(out, out_cols, scored)
 
     schema = BLOCKS_SCHEMA_SCORED if scored else BLOCKS_SCHEMA
     return shuffled.mapInArrow(term_iter, schema=schema)
@@ -297,7 +299,7 @@ def blocks_from_tf(
     block_size: int | None = None,
     n_salt: int | None = None,
     avg_len: float | None = None,
-    max_df: int | None = None,
+    max_df: "int | Callable[[], int] | None" = None,
     _stop_at: str | None = None,
 ) -> DataFrame:
     """Flat postings (term_id, doc_id, tf) → encoded block rows WITHOUT the
@@ -365,17 +367,23 @@ def blocks_from_tf(
     # posting count, one tiny agg off the caller's materialized lexicon)
     # guards a forced term pick against partition-buffer blowout.
     forced = os.environ.get("DS2S_BLOCKS_PLAN", "")
-    bound = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
-    if forced == "term" and max_df is not None and int(max_df) > bound:
-        raise ValueError(
-            f"DS2S_BLOCKS_PLAN=term forced but max_df {max_df} exceeds the "
-            f"partition-buffer bound {bound}; the term plan needs a term's "
-            "full posting list in one partition — use the window plan."
-        )
     if forced == "term" and _stop_at is None:
         # _stop_at (stage-boundary diagnostics) only exists in the window
         # plan's staged pipeline; a diag caller keeps the window plan
-        # rather than silently ignoring the knob.
+        # rather than silently ignoring the knob.  max_df may be a lazy
+        # callable (callers pass ``lambda: idx.max_df`` so the lexicon agg
+        # runs ONLY when the term plan is actually picked — the default
+        # window plan never pays that extra driver job); the buffer-bound
+        # check likewise runs only when the term plan will run.
+        bound = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
+        mdf = max_df() if callable(max_df) else max_df
+        if mdf is not None and int(mdf) > bound:
+            raise ValueError(
+                f"DS2S_BLOCKS_PLAN=term forced but max_df {mdf} exceeds the "
+                f"partition-buffer bound {bound}; the term plan needs a "
+                "term's full posting list in one partition — use the "
+                "window plan."
+            )
         return _blocks_term_plan(
             tf, universe, codec, bs, scored, avg_len, scorer, sp
         )
@@ -617,7 +625,6 @@ def blocks_from_tf(
     if scored:
         out_cols += ["len_bytes", "block_max_score"]
     k1, b_p = scorer.k1, scorer.b
-    eps = scorer.idf_epsilon
     n_f = float(universe)
     avg = float(avg_len) if avg_len else 1.0
 
@@ -626,33 +633,12 @@ def blocks_from_tf(
         # binary payloads come out as bytes via to_pylist (one copy, the
         # same copy pandas would make), output RecordBatches are built
         # directly — no pandas round trip.
-        import pyarrow as pa
-
         pend_key = None
         pend_df = 0
         pend_d: list[np.ndarray] = []
         pend_t: list[np.ndarray] = []
         pend_l: list[np.ndarray] = []
         out: dict[str, list] = {k: [] for k in out_cols}
-
-        def emit_batch():
-            arrays = [
-                pa.array(np.asarray(out["term_id"], dtype=np.int32)),
-                pa.array(np.asarray(out["block_id"], dtype=np.int32)),
-                pa.array(np.asarray(out["n"], dtype=np.int32)),
-                pa.array(np.asarray(out["first_doc"], dtype=np.int64)),
-                pa.array(np.asarray(out["last_doc"], dtype=np.int64)),
-                pa.array(out["doc_bytes"], type=pa.binary()),
-                pa.array(out["tf_bytes"], type=pa.binary()),
-            ]
-            if scored:
-                arrays += [
-                    pa.array(out["len_bytes"], type=pa.binary()),
-                    pa.array(
-                        np.asarray(out["block_max_score"], dtype=np.float64)
-                    ),
-                ]
-            return pa.RecordBatch.from_arrays(arrays, names=out_cols)
 
         def flush():
             d = pend_d[0] if len(pend_d) == 1 else np.concatenate(pend_d)
@@ -676,8 +662,7 @@ def blocks_from_tf(
                 out["len_bytes"].append(encode_tfs(ln, "gvb"))
                 # same float64 expression shape as the serve kernel and the
                 # DuckDB oracle (round-4 stable)
-                dfv = float(pend_df)
-                idf = max(eps, np.log((n_f - dfv + 0.5) / (dfv + 0.5))) * (1.0 + k1)
+                idf = scorer.idf(float(pend_df), n_f)
                 tf_f = t.astype(np.float64)
                 contrib = idf * tf_f / (
                     tf_f + k1 * (1.0 - b_p + b_p * ln.astype(np.float64) / avg)
@@ -708,12 +693,12 @@ def blocks_from_tf(
                 if scored:
                     pend_l.append(np.frombuffer(lens_l[i], dtype="<i4"))
             if out["term_id"]:
-                yield emit_batch()
+                yield _blocks_record_batch(out, out_cols, scored)
                 out = {k: [] for k in out}
         if pend_key is not None:
             flush()
         if out["term_id"]:
-            yield emit_batch()
+            yield _blocks_record_batch(out, out_cols, scored)
 
     schema = BLOCKS_SCHEMA_SCORED if scored else BLOCKS_SCHEMA
     return sorted_frags.mapInArrow(merge_iter, schema=schema)

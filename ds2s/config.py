@@ -30,9 +30,14 @@ class Scorer:
     idf_epsilon: float = 1e-6  # ds2i clamps idf at epsilon ([U] ds2i/bm25.hpp)
 
     def idf(self, df: float, n_docs: float) -> float:
-        import math
+        """Robertson idf — the ONE python-side definition, used by both
+        block-max encode kernels and the serving cursor resolver.  np.log,
+        not math.log: the scoring kernels compute contributions with numpy,
+        and pruning correctness requires the block-max upper bound and the
+        kernel score to come from the same libm entry point bit-for-bit."""
+        import numpy as np
 
-        raw = math.log((n_docs - df + 0.5) / (df + 0.5))
+        raw = float(np.log((n_docs - df + 0.5) / (df + 0.5)))
         return max(self.idf_epsilon, raw) * (1.0 + self.k1)
 
     def sql_idf(self, df_expr: str, n_expr: str) -> str:

@@ -22,7 +22,7 @@ Scale notes (100 TB / 10^12 files):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -167,7 +167,12 @@ class InvertedIndex:
             except Exception:
                 pass
 
-    _max_df_cache: int | None = None
+    # lazy cache, not a constructor/identity field (init=False keeps it out
+    # of __init__/__repr__/__eq__ — two otherwise-identical indexes must not
+    # compare unequal just because one has computed max_df)
+    _max_df_cache: int | None = field(
+        default=None, init=False, repr=False, compare=False
+    )
 
     @property
     def max_df(self) -> int:

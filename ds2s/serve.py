@@ -457,7 +457,7 @@ class ServingIndex:
             postings = idx.tf.select("term_id", "doc_id", "tf", "len", "df")
             blocks = blocks_from_tf(
                 postings, idx.n_docs, self.cfg, codec=codec,
-                avg_len=idx.avg_len, max_df=idx.max_df,
+                avg_len=idx.avg_len, max_df=lambda: idx.max_df,
             )
         self._init_tables(
             lexicon=idx.lexicon,
@@ -591,9 +591,10 @@ class ServingIndex:
         ONE predicate-pushed scan of the lexicon (``term IN (...)``, a
         bounded literal list — at scale this prunes to the dictionary
         partitions holding the query terms); everything else is driver
-        arithmetic over ≤ batch-size rows.  idf is computed with np.log,
-        the same libm the block-max encode kernel and the scoring kernels
-        use, so every pruning comparison is float-consistent."""
+        arithmetic over ≤ batch-size rows.  idf comes from cfg.scorer.idf
+        (np.log — the same libm the block-max encode kernels and the
+        scoring kernels use), so every pruning comparison is
+        float-consistent."""
         from collections import Counter
 
         scorer = self.cfg.scorer
@@ -621,10 +622,7 @@ class ServingIndex:
             if term not in tmap:
                 continue  # OR semantics: unknown terms are ignored
             tid, df = tmap[term]
-            idf = max(
-                scorer.idf_epsilon,
-                float(np.log((n - df + 0.5) / (df + 0.5))),
-            ) * (1.0 + scorer.k1)
+            idf = scorer.idf(float(df), n)
             cur.append((qid, tid, float(w), df, idf))
         return cur
 

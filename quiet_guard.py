@@ -46,12 +46,22 @@ def log(msg: str) -> None:
 
 
 def _read(path: Path):
-    return json.loads(path.read_text()) if path.exists() else None
+    """None on missing, truncated, or malformed artifact — a harness killed
+    mid-write must never kill the 6-hour guard loop with it."""
+    try:
+        return json.loads(path.read_text()) if path.exists() else None
+    except (OSError, json.JSONDecodeError) as exc:
+        log(f"unreadable artifact {path.name}: {exc}")
+        return None
 
 
 def _restore(path: Path, prior, fresh_name: str) -> None:
     fresh = _read(path)
-    (REPO / fresh_name).write_text(json.dumps(fresh, indent=2) + "\n")
+    # park the fresh run only if the harness actually wrote one that isn't
+    # just the untouched prior (a crash-before-write leaves prior content;
+    # parking that would fabricate a 'fresh retry' artifact out of stale data)
+    if fresh is not None and fresh != prior:
+        (REPO / fresh_name).write_text(json.dumps(fresh, indent=2) + "\n")
     if prior is not None:
         path.write_text(json.dumps(prior, indent=2) + "\n")
 
@@ -74,7 +84,11 @@ def try_scaling(levels: str = "8,32") -> None:
             gate.write_text(json.dumps(prior, indent=2) + "\n")
         return
     fresh = _read(gate)
-    if prior is not None and fresh.get("value", 0) <= prior.get("value", 0):
+    if fresh is None:
+        log(f"{tag}: harness wrote no artifact; restoring prior")
+        if prior is not None:
+            gate.write_text(json.dumps(prior, indent=2) + "\n")
+    elif prior is not None and fresh.get("value", 0) <= prior.get("value", 0):
         _restore(gate, prior, retry)
         log(f"{tag}: adopted prior {prior.get('value')} (fresh {fresh.get('value')})")
     else:

@@ -98,7 +98,7 @@ def child(cores: int) -> None:
         len rides inside tf — no doc-keyed join of the posting table."""
         postings = idx.tf.select("term_id", "doc_id", "tf", "len", "df")
         return blocks_from_tf(postings, idx.n_docs, avg_len=idx.avg_len,
-                              max_df=idx.max_df)
+                              max_df=lambda: idx.max_df)
 
     # untimed warm-up on a small slice: JIT/codegen compilation + python
     # worker spin-up are one-time JVM costs, not per-build costs (ds2i's

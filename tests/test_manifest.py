@@ -139,13 +139,12 @@ def test_from_store_uses_buildtime_config(tmp_path, spark, synth_idx):
 
     from ds2s import query as Q
     from ds2s.config import Scorer
-    from ds2s.invert import InvertedIndex
     from ds2s.serve import ServingIndex
 
     cfg2 = dataclasses.replace(
         synth_idx.cfg, scorer=Scorer(k1=0.9, b=0.4)
     )
-    idx2 = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg2})
+    idx2 = dataclasses.replace(synth_idx, cfg=cfg2)
     store = IndexStore(str(tmp_path / "k09"))
     store.write_checkpointed(idx2, source="synth", n_buckets=2)
 
@@ -308,7 +307,6 @@ def test_config_change_invalidates_resume(tmp_path, spark, synth_idx):
     as incomplete and rewritten — no silently mixed-config index."""
     import dataclasses
 
-    from ds2s.invert import InvertedIndex
 
     store = IndexStore(str(tmp_path / "idxcfg"))
     store.write_checkpointed(synth_idx, source="synth", n_buckets=2)
@@ -316,7 +314,7 @@ def test_config_change_invalidates_resume(tmp_path, spark, synth_idx):
 
     # same tables, different block_size → every unit must be rewritten
     cfg2 = dataclasses.replace(synth_idx.cfg, block_size=32)
-    idx2 = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg2})
+    idx2 = dataclasses.replace(synth_idx, cfg=cfg2)
     rewritten = store.write_checkpointed(idx2, source="synth", n_buckets=2)
     assert rewritten == 3 + 2 + 2 + 1
     # and the stored blocks really are 32-posting blocks now
