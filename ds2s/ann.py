@@ -61,6 +61,31 @@ def default_queries(embeddings: DataFrame, every: int = 97) -> DataFrame:
     return embeddings.filter(F.col("vec_id") % every == 0)
 
 
+def _queries_side(queries: DataFrame) -> DataFrame:
+    return _as_double(queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+
+
+def _cosine_rank_topk(joined: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail for the brute-force oracle and the ANN rerank
+    paths: the 6-dp cosine and the (cosine DESC, vec_id ASC) tie rule are
+    FROZEN semantics encoded exactly once — a change here moves the oracle
+    and every rerank path together, never one without the other."""
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = joined.withColumn(
+        "cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
 def bruteforce_topk(
     embeddings: DataFrame, queries: DataFrame | None = None, k: int = 10
 ) -> DataFrame:
@@ -68,22 +93,9 @@ def bruteforce_topk(
     self-matches excluded; cosine ranked at 6 decimals, emitted at 6."""
     queries = queries if queries is not None else default_queries(embeddings)
     base = _as_double(embeddings)
-    q = _as_double(queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    scored = (
-        base.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 6))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cosine")
+    q = _queries_side(queries)
+    return _cosine_rank_topk(
+        base.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid")), k
     )
 
 
@@ -160,20 +172,47 @@ def _probe_masks(margins: np.ndarray, n_probes: int, max_flip: int = 12) -> list
     """Margin-ordered multiprobe (Lv et al., 'Multi-Probe LSH', VLDB 2007):
     the ``n_probes`` cheapest XOR masks, where a mask's cost is the summed
     |projection margin| of the flipped planes — a neighbor most likely
-    differs on the planes the query itself barely cleared.  Deterministic
-    (ties broken by mask value)."""
-    import itertools
+    differs on the planes the query itself barely cleared.
+
+    Best-first perturbation-set expansion (the paper's own algorithm),
+    NOT 2^max_flip enumeration: pop the cheapest frontier subset, push
+    its two successors over the margin-sorted plane positions — extend
+    (add the next position) and shift (replace the last position with
+    the next).  Every successor costs ≥ its parent and every non-empty
+    subset is generated exactly once, so the first ``n_probes`` pops are
+    exactly the globally cheapest subsets in O(n_probes log n_probes)
+    per (query, table) — the previous exhaustive version evaluated up to
+    4096 subsets per (query, table) in the driver (round-5 review
+    finding).  Deterministic; among exactly-equal costs ties break by
+    mask value within the frontier."""
+    import heapq
 
     order = np.argsort(margins, kind="stable")[: min(len(margins), max_flip)]
-    subs: list[tuple[float, int]] = [(0.0, 0)]
-    for r in range(1, len(order) + 1):
-        for c in itertools.combinations(range(len(order)), r):
-            mask = 0
-            for j in c:
-                mask |= 1 << int(order[j])
-            subs.append((float(margins[order[list(c)]].sum()), mask))
-    subs.sort()
-    return [m for _, m in subs[:n_probes]]
+    m = len(order)
+    out = [0]  # the unperturbed bucket is always the cheapest probe
+    if m == 0 or n_probes <= 1:
+        return out
+    csort = [float(margins[p]) for p in order]
+    bit = [1 << int(p) for p in order]
+    heap = [(csort[0], bit[0], (0,))]
+    while heap and len(out) < n_probes:
+        cost, mask, pos = heapq.heappop(heap)
+        out.append(mask)
+        last = pos[-1]
+        if last + 1 < m:
+            heapq.heappush(
+                heap,
+                (cost + csort[last + 1], mask | bit[last + 1], pos + (last + 1,)),
+            )
+            heapq.heappush(
+                heap,
+                (
+                    cost - csort[last] + csort[last + 1],
+                    (mask ^ bit[last]) | bit[last + 1],
+                    pos[:-1] + (last + 1,),
+                ),
+            )
+    return out
 
 
 def lsh_candidates(
@@ -229,18 +268,25 @@ def lsh_topk(
     queries: DataFrame | None = None,
     k: int = 10,
     n_planes: int | None = 6,
-    n_tables: int | None = 4,
+    n_tables: int | None = None,
     multiprobe: int = 1,
     n_probes: int | None = None,
 ) -> DataFrame:
     """(qid, rank, vec_id, cosine) approximate top-k: LSH-bucketed
     candidates (``lsh_candidates``) exact-ranked.  Pass ``n_planes=None``
-    to auto-scale both parameters from the collection size."""
+    to auto-scale both parameters from the collection size;
+    ``n_tables=None`` pairs with whatever n_planes resolves to (auto_t
+    under auto-scaling, the classic 4 otherwise) — the recall property
+    (tests/test_ann_recall.py) holds only for PAIRED parameters, so a
+    lone ``n_planes=None`` must never run auto planes with the small
+    fixed table count (round-5 review finding)."""
     queries = queries if queries is not None else default_queries(embeddings)
-    if n_planes is None or n_tables is None:
+    if n_planes is None:
         auto_p, auto_t = auto_lsh_params(embeddings.count())
-        n_planes = n_planes or auto_p
-        n_tables = n_tables or auto_t
+        n_planes = auto_p
+        n_tables = auto_t if n_tables is None else n_tables
+    elif n_tables is None:
+        n_tables = 4
     cand = lsh_candidates(
         embeddings, queries, n_planes, n_tables, multiprobe, n_probes
     )
@@ -250,26 +296,13 @@ def lsh_topk(
 def _exact_rerank(
     embeddings: DataFrame, queries: DataFrame, cand: DataFrame, k: int
 ) -> DataFrame:
-    """(qid, vec_id) candidate pairs → exact cosine top-k per qid, the
-    same JVM-side dot product and (cosine DESC, vec_id ASC) tie rule as
-    the brute-force oracle."""
+    """(qid, vec_id) candidate pairs → exact cosine top-k per qid —
+    _cosine_rank_topk is the ONE definition of the dot product, rounding
+    and tie rule shared with the brute-force oracle."""
     base = _as_double(embeddings)
-    q = _as_double(queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    scored = (
-        cand.join(base, "vec_id")
-        .join(F.broadcast(q), "qid")
-        .withColumn("cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), 6))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cosine")
+    q = _queries_side(queries)
+    return _cosine_rank_topk(
+        cand.join(base, "vec_id").join(F.broadcast(q), "qid"), k
     )
 
 
@@ -354,6 +387,8 @@ def ivf_fit_centroids(
             rows = None
     if rows is None:
         rows = sel.orderBy(md5_key, "vec_id").limit(int(sample_cap)).collect()
+    if not rows:  # empty collection: no quantizer (callers return empty)
+        return np.zeros((0, 0), dtype=np.float64)
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return _kmeans_fit(X, n_centroids, iters)
 
@@ -468,5 +503,14 @@ def ivf_topk(
     centroids = ivf_fit_centroids(
         embeddings, n_centroids, sample_cap, iters, n_hint=n
     )
+    if len(centroids) == 0:
+        # empty collection — same graceful shape as the LSH path: run the
+        # normal rerank over zero candidates so the output schema is the
+        # usual one, not a hand-built empty frame that could drift
+        cand = (
+            queries.select(F.col("vec_id").alias("qid")).limit(0)
+            .crossJoin(embeddings.select("vec_id").limit(0))
+        )
+        return _exact_rerank(embeddings, queries, cand, k)
     cand = ivf_candidates(embeddings, queries, centroids, nprobe)
     return _exact_rerank(embeddings, queries, cand, k)

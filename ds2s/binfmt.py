@@ -52,6 +52,13 @@ def read_sequences(path: str) -> Iterator[np.ndarray]:
     while off < len(buf):
         n = int(buf[off])
         off += 1
+        if off + n > len(buf):
+            # a mid-sequence truncation must fail loudly, not yield a
+            # short final array that downstream checks silently trust
+            raise ValueError(
+                f"{path}: truncated sequence at word {off - 1}: header "
+                f"says {n} values, file holds {len(buf) - off}"
+            )
         yield buf[off : off + n]
         off += n
 
@@ -66,7 +73,7 @@ def write_collection(
     arrays supplied in termID order."""
     base = Path(basename)
     with open(f"{base}.docs", "wb") as fd, open(f"{base}.freqs", "wb") as ff:
-        _write_seq(fd, np.asarray([n_docs], dtype="<u4"))
+        _write_seq(fd, np.asarray([n_docs], dtype=np.int64))
         for docs, tfs in term_postings:
             _write_seq(fd, docs)
             _write_seq(ff, tfs)
@@ -80,7 +87,9 @@ def read_collection(basename: str):
     docs_seqs = read_sequences(f"{base}.docs")
     n_docs = int(next(docs_seqs)[0])
     freqs_seqs = read_sequences(f"{base}.freqs")
-    postings = [(d, f) for d, f in zip(docs_seqs, freqs_seqs)]
+    # strict: a .docs/.freqs pair disagreeing on term count is corruption
+    # and must be rejected, not silently truncated to the shorter file
+    postings = [(d, f) for d, f in zip(docs_seqs, freqs_seqs, strict=True)]
     sizes = next(read_sequences(f"{base}.sizes"))
     return n_docs, postings, sizes
 
@@ -108,13 +117,16 @@ def export_index(idx, basename: str) -> int:
         .orderBy("term_id")
     )
     sizes_rows = idx.sizes.orderBy("doc_id").collect()
-    sizes = np.array([r["len"] for r in sizes_rows], dtype="<u4")
+    # int64, NOT '<u4': pre-casting would wrap out-of-range values before
+    # _write_seq's u32 range guard could see them — the guard must always
+    # observe the true values (round-5 review finding)
+    sizes = np.array([r["len"] for r in sizes_rows], dtype=np.int64)
 
     def gen():
         for row in flat.toLocalIterator():
             yield (
-                np.asarray(row["docs"], dtype="<u4"),
-                np.asarray(row["tfs"], dtype="<u4"),
+                np.asarray(row["docs"], dtype=np.int64),
+                np.asarray(row["tfs"], dtype=np.int64),
             )
 
     n_terms = 0

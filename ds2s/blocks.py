@@ -81,12 +81,33 @@ def superblock_agg(blocks: DataFrame, sb_size: int) -> DataFrame:
     )
 
 
+def _candidate_encodings(encode, values, universe, candidates):
+    """Every candidate encoding that is ELIGIBLE for these values: a codec
+    whose format cannot represent them (gvb is u32-only; docIDs past 2^32
+    are in-contract at 10^12-file scale) drops out of the race instead of
+    killing the encode task (round-5 review finding)."""
+    outs = []
+    for c in candidates:
+        try:
+            outs.append(encode(values, universe, c) if universe is not None
+                        else encode(values, c))
+        except ValueError:
+            continue
+    if not outs:  # ef/pef have no range limit, so this cannot happen
+        raise ValueError("no codec could encode the block")
+    return outs
+
+
 def _encode_one(docs: np.ndarray, tfs: np.ndarray, universe: int, codec: str) -> tuple[bytes, bytes]:
     if codec == "auto":
         best_d = min(
-            (encode_docs(docs, universe, c) for c in _AUTO_CANDIDATES), key=len
+            _candidate_encodings(encode_docs, docs, universe, _AUTO_CANDIDATES),
+            key=len,
         )
-        best_t = min((encode_tfs(tfs, c) for c in _AUTO_CANDIDATES), key=len)
+        best_t = min(
+            _candidate_encodings(encode_tfs, tfs, None, _AUTO_CANDIDATES),
+            key=len,
+        )
         return best_d, best_t
     return encode_docs(docs, universe, codec), encode_tfs(tfs, codec)
 

@@ -57,13 +57,23 @@ def pfd_encode_block(values: np.ndarray) -> bytes:
     """One block (len ≤ 128) of non-negative uint64 values."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
-    bl = bit_length(v).astype(np.int64) if n else np.zeros(0, np.int64)
+    if n == 0:
+        # the header stores n-1 in a u8, so an empty block is
+        # UNREPRESENTABLE — encoding it would alias to a 1-value block
+        # that decodes to [0] (round-5 review finding)
+        raise ValueError("pfd_encode_block: empty block is unrepresentable")
+    bl = bit_length(v).astype(np.int64)
     b = _choose_width(v, bl)
-    mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1) if b else np.uint64(0)
+    if b >= 64:
+        # 1<<64 is numpy-undefined (platform-dependent wraparound +
+        # RuntimeWarning); the all-ones mask must be spelled directly
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1) if b else np.uint64(0)
     lows = pack_bits(v & mask, b) if b else b""
     exc_pos = np.flatnonzero(bl > b)
     highs = (v[exc_pos] >> np.uint64(b)) if len(exc_pos) else np.zeros(0, np.uint64)
-    out = bytes([n - 1 if n else 0, b, len(exc_pos)])
+    out = bytes([n - 1, b, len(exc_pos)])
     out += lows
     out += exc_pos.astype(np.uint8).tobytes()
     out += varint_encode(highs)

@@ -20,6 +20,7 @@ content_sha256]).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,7 +138,11 @@ def load_code_corpus(spark: SparkSession, path: str,
     executor storage for the session lifetime, doubling the corpus
     footprint next to build_index's own cache).
     """
-    if "/" in path or path.endswith(".parquet"):
+    # a path that exists on the local filesystem is parquet even when bare
+    # and relative ("corpusdir") — only a non-path name falls through to
+    # the catalog (round-5 review: the CLI schema-sniffs relative dirs as
+    # parquet, then this routed the same string to read.table and crashed)
+    if "/" in path or path.endswith(".parquet") or os.path.exists(path):
         df = spark.read.parquet(path)
     else:  # pragma: no cover - needs an Iceberg catalog
         df = spark.read.table(path)

@@ -180,10 +180,24 @@ def minhash_signatures(documents: DataFrame, n_perm: int = N_PERM,
     ).select("doc_id", F.col("perm").cast("int"), "minhash")
 
 
+def _check_bands(n_perm: int, n_bands: int) -> None:
+    """n_bands must divide n_perm exactly: a remainder silently DROPS the
+    trailing permutations from every band key (and n_bands > n_perm makes
+    rows_per_band 0 — every key the empty string, one quadratic bucket).
+    The two band formulations and the DuckDB oracle only agree under exact
+    division (round-5 review finding; simhash has the same guard)."""
+    if n_bands < 1 or n_bands > n_perm or n_perm % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide n_perm={n_perm} exactly "
+            f"(1 ≤ n_bands ≤ n_perm)"
+        )
+
+
 def minhash_band_keys(signatures: DataFrame, n_perm: int = N_PERM,
                       n_bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, band_key) — band_key concatenates the band's minima
     in perm order; equal keys ⇒ LSH candidate pair."""
+    _check_bands(n_perm, n_bands)
     rows_per_band = n_perm // n_bands
     return (
         signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
@@ -210,6 +224,7 @@ def _band_table(documents: DataFrame, n_perm: int, n_bands: int,
     identical to the ``minhash_band_keys``-over-``minhash_signatures``
     formulation — the sort_array path and this projection must never
     drift, since the oracle SQL's string_agg(ORDER BY perm) matches both."""
+    _check_bands(n_perm, n_bands)
     rpb = n_perm // n_bands
     wide = _minhash_wide(documents, n_perm, k)
     return wide.select(

@@ -84,6 +84,13 @@ def build_lexicon(tf: DataFrame, aux: list | None = None) -> DataFrame:
     ``aux`` so the caller can unpersist them once the result materializes
     (they otherwise accumulate dead cached partitions across repeated
     builds in one JVM — bench/scaling harnesses).
+
+    With ``aux=None`` the vocabulary-sized persist is still taken (the
+    sort below would re-run the aggregation twice without it) but its
+    handle is unreachable afterwards — a long-lived session that calls
+    this repeatedly without ``aux`` leaks one cached lexicon per call
+    (release with spark.catalog.clearCache()).  Every in-repo caller
+    passes ``aux``; do the same.
     """
     lex = tf.groupBy("term").agg(F.count("*").cast("int").alias("df"))
     # materialize before with_dense_id: its range-partition sampling and

@@ -396,7 +396,11 @@ def resize_media(media: DataFrame, target_len: int = 64) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """(doc_id, frame_id, frame binary) — evenly-spaced payload slices.
+    """(doc_id, frame_id, frame binary) — stride-packed payload slices:
+    frame i is bytes [i*step, (i+1)*step) with step = len//n_frames, so
+    frames are contiguous from the front and the trailing len % step bytes
+    are not covered (a prefix sample, not an evenly-SPREAD one — declared
+    semantics shared with the pytest golden slices).
 
     The video-frame-sampling plumbing (schema + batch shape) with a
     deterministic byte-slice stand-in for a real frame extractor."""

@@ -38,10 +38,10 @@ SELECT doc_id,
        cast(len(list_distinct(toks)) AS INT) AS n_distinct,
        cast(length(text) AS INT) AS n_chars,
        cast(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS INT)
+                 ELSE len(regexp_extract_all(trim(text), '[^ \\t\\n\\f\\r]+')) END AS INT)
          AS n_ws_tokens,
        cast(coalesce(list_sum(list_transform(
-              regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'),
+              regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]+'),
               p -> cast(ceil(length(p) / 4.0) AS INT))), 0) AS INT)
          AS n_bpe_tokens
 FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)

@@ -46,16 +46,23 @@ def queries_df(spark, rows=None) -> DataFrame:
 def bm25_score_col(scorer: Scorer, n_docs: int, avg_len: float) -> Column:
     """BM25 contribution of one (term, doc) posting as a native Column
     expression (whole-stage-codegen'd; no UDF).  Expects columns
-    ``df`` (int), ``tf`` (int), ``len`` (int).  Float64 throughout."""
-    n = F.lit(float(n_docs))
-    df_ = F.col("df").cast("double")
-    idf = F.greatest(
-        F.lit(scorer.idf_epsilon),
-        F.log((n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))),
-    ) * F.lit(1.0 + scorer.k1)
-    tf_ = F.col("tf").cast("double")
-    norm = F.col("len").cast("double") / F.lit(float(avg_len))
-    w_d = tf_ / (tf_ + F.lit(scorer.k1) * (F.lit(1.0 - scorer.b) + F.lit(scorer.b) * norm))
+    ``df`` (int), ``tf`` (int), ``len`` (int).  Float64 throughout.
+
+    Built from the SAME ANSI-SQL strings (Scorer.sql_idf/sql_doc_weight)
+    the DuckDB oracles run, not a hand-retyped Column twin: the exact
+    DataFrame path and the oracle SQL therefore evaluate a textually
+    identical expression tree — same association order, same literals —
+    so they cannot drift apart by edit, and ulp-level differences from a
+    reordered multiply/divide are impossible by construction (round-5
+    review finding; the numpy-kernel definition is Scorer.idf, see
+    wand.py's libm caveat)."""
+    n_lit = repr(float(n_docs))
+    idf = F.expr(scorer.sql_idf("cast(df as double)", n_lit))
+    w_d = F.expr(
+        scorer.sql_doc_weight(
+            "cast(tf as double)", "cast(len as double)", repr(float(avg_len))
+        )
+    )
     return idf * w_d
 
 

@@ -132,4 +132,24 @@ def get_spark(
             )
     except Exception:
         pass  # diagnostics only — never block session creation
+    # getOrCreate returns any pre-existing session AS-IS: every launch-time
+    # conf above (master/cores, executorEnv malloc + Arrow pool, Arrow
+    # batch sizing) is silently dropped in that case.  The heap check above
+    # catches one symptom; warn on the loudest other one — a core-count
+    # mismatch — so a measurement taken on a reused, differently-sized
+    # session is never silently signed (round-5 review finding).
+    try:
+        actual_master = spark.sparkContext.master
+        if actual_master != f"local[{cores}]":
+            import sys
+
+            print(
+                f"ds2s: reusing existing SparkSession ({actual_master}) — "
+                f"requested local[{cores}] and this factory's launch-time "
+                "tuning confs were NOT applied; stop the old session first "
+                "for a correctly-sized one",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
     return spark

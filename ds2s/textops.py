@@ -63,7 +63,12 @@ def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
 # GPT-2 pretokenizer family minus lookaheads, so the SAME pattern runs
 # under Java regex (Spark) and RE2 (DuckDB)).  Subword estimate below uses
 # the public ~4-chars-per-BPE-token rule of thumb: ceil(len(piece)/4).
-BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+# Whitespace is the EXPLICIT class [ \t\n\f\r], never \s: Java's \s
+# includes vertical tab (\x0B) while RE2's does not, so a shorthand class
+# would make the engine and the DuckDB oracle disagree on any document
+# containing 0x0B (round-5 review finding).
+WS_CLASS = " \\t\\n\\f\\r"
+BPE_PRETOKEN_RE = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WS_CLASS}]+"
 
 
 def token_count(documents: DataFrame) -> DataFrame:
@@ -80,11 +85,12 @@ def token_count(documents: DataFrame) -> DataFrame:
         F.lit(0),
         lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("int"),
     )
-    # COUNT \S+ runs rather than splitting on \s+: Spark's trim strips
-    # only spaces and split keeps boundary empty fragments, so a doc with
-    # a trailing newline/tab would count a phantom token and diverge from
-    # the declared-exact oracle (round-5 review finding)
-    n_ws = F.regexp_count(F.col("text"), F.lit("\\S+"))
+    # COUNT non-whitespace runs rather than splitting on whitespace:
+    # Spark's trim strips only spaces and split keeps boundary empty
+    # fragments, so a doc with a trailing newline/tab would count a
+    # phantom token and diverge from the declared-exact oracle (round-5
+    # review finding).  Explicit class, not \S — see WS_CLASS above.
+    n_ws = F.regexp_count(F.col("text"), F.lit(f"[^{WS_CLASS}]+"))
     return documents.select(
         "doc_id",
         F.size(t).alias("n_tokens"),

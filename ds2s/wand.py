@@ -27,7 +27,15 @@ from .query import bm25_score_col
 
 def _scored_postings(idx: InvertedIndex) -> DataFrame:
     """(term_id, doc_id, tf, contrib) — every posting with its BM25 term
-    contribution (float64).  len rides inside tf (no sizes join)."""
+    contribution (float64).  len rides inside tf (no sizes join).
+
+    Libm caveat: contrib uses the JVM-side relational scorer
+    (query.bm25_score_col, F.log) while the engine block tables score with
+    numpy (config.Scorer.idf, np.log); the two can differ in the last ulp,
+    which is why the equality tests compare at round_to=6.  Serving pruning
+    bounds NEVER come from these twins — the serving wand/block-max tables
+    are built by the np.log kernel path (blocks.py / manifest.py), so the
+    bit-for-bit bound≥score invariant holds where it matters."""
     return (
         idx.tf.select("term_id", "doc_id", "tf", "len", "df")
         .withColumn("contrib", bm25_score_col(idx.cfg.scorer, idx.n_docs, idx.avg_len))

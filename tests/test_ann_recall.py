@@ -195,3 +195,77 @@ def test_ivf_sample_prefix_filter_equals_global(spark, uniform):
         emb, n_centroids=8, sample_cap=64, n_hint=n
     )
     assert np.array_equal(c_global, c_filtered)
+
+
+def test_probe_masks_best_first_equals_exhaustive():
+    """The heap-based best-first _probe_masks must return exactly the
+    n_probes cheapest XOR masks — pinned against a brute-force reference
+    (the pre-round-5 exhaustive enumeration) on seeded random margins,
+    where all subset costs are distinct so the order is unique."""
+    import itertools
+
+    def reference(margins, n_probes, max_flip=12):
+        order = np.argsort(margins, kind="stable")[: min(len(margins), max_flip)]
+        subs = [(0.0, 0)]
+        for r in range(1, len(order) + 1):
+            for c in itertools.combinations(range(len(order)), r):
+                mask = 0
+                for j in c:
+                    mask |= 1 << int(order[j])
+                subs.append((float(margins[order[list(c)]].sum()), mask))
+        subs.sort()
+        return [m for _, m in subs[:n_probes]]
+
+    rng = np.random.default_rng(7)
+    for n_planes in (1, 2, 5, 8, 12, 16, 21):
+        for n_probes in (1, 2, 7, 22, 50):
+            margins = rng.uniform(0.01, 1.0, size=n_planes)
+            got = ann._probe_masks(margins, n_probes)
+            want = reference(margins, n_probes)
+            assert got == want, (n_planes, n_probes, got, want)
+    # degenerate shapes: no planes / single probe
+    assert ann._probe_masks(np.array([]), 5) == [0]
+    assert ann._probe_masks(np.array([0.3, 0.1]), 1) == [0]
+
+
+def test_lsh_topk_auto_scales_tables_with_planes(spark, monkeypatch):
+    """lsh_topk(n_planes=None) must run with the PAIRED auto (planes,
+    tables) — the recall property holds only for paired parameters, so a
+    lone n_planes=None must never combine auto planes with the small
+    fixed table count (round-5 review finding)."""
+    seen = {}
+
+    def fake_candidates(embeddings, queries, n_planes, n_tables, *a, **k):
+        seen["params"] = (n_planes, n_tables)
+        return queries.select(F.col("vec_id").alias("qid")).limit(0).crossJoin(
+            embeddings.select("vec_id").limit(0)
+        )
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(ann, "lsh_candidates", fake_candidates)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    ann.lsh_topk(emb, n_planes=None).collect()
+    auto_p, auto_t = ann.auto_lsh_params(300)
+    assert seen["params"] == (auto_p, auto_t)
+    # explicit values are honored untouched
+    ann.lsh_topk(emb, n_planes=7, n_tables=3).collect()
+    assert seen["params"] == (7, 3)
+    # bare default keeps the classic (6, 4) pairing
+    ann.lsh_topk(emb).collect()
+    assert seen["params"] == (6, 4)
+
+
+def test_ivf_topk_empty_collection(spark):
+    """ivf_topk on an empty collection returns an empty result with the
+    normal schema instead of a numpy AxisError from fitting a quantizer
+    on zero samples (round-5 review finding)."""
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    out = ann.ivf_topk(emb)
+    assert out.columns == ["qid", "rank", "vec_id", "cosine"]
+    assert out.count() == 0

@@ -82,3 +82,49 @@ def test_write_read_lowlevel(tmp_path):
     # byte-level: .docs begins with the singleton [N] sequence
     raw = np.fromfile(f"{base}.docs", dtype="<u4")
     assert raw[0] == 1 and raw[1] == 8 and raw[2] == 3
+
+
+def test_write_seq_u32_guard_sees_true_values():
+    """Out-of-range values must raise from the u32 guard, never pre-wrap:
+    export pre-cast to '<u4' used to wrap doc_ids >= 2^32 BEFORE the
+    guard could see them (round-5 review finding)."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    from ds2s.binfmt import _write_seq
+
+    with pytest.raises(ValueError, match="u32"):
+        _write_seq(io.BytesIO(), np.array([2**32 + 5], dtype=np.int64))
+    with pytest.raises(ValueError, match="u32"):
+        _write_seq(io.BytesIO(), np.array([-1], dtype=np.int64))
+
+
+def test_read_collection_rejects_corrupt_pairs(tmp_path):
+    """A .docs/.freqs pair disagreeing on term count, or a mid-sequence
+    truncation, must fail loudly instead of silently truncating the
+    index (round-5 review finding)."""
+    import numpy as np
+    import pytest
+
+    from ds2s.binfmt import read_collection, read_sequences, write_collection
+
+    base = str(tmp_path / "col")
+    docs = [
+        (np.array([0, 3], dtype=np.int64), np.array([1, 2], dtype=np.int64)),
+        (np.array([1], dtype=np.int64), np.array([4], dtype=np.int64)),
+    ]
+    write_collection(base, 5, iter(docs), np.array([2, 1, 1, 2, 0], dtype=np.int64))
+
+    # drop the last .freqs sequence -> term counts disagree
+    raw = np.fromfile(f"{base}.freqs", dtype="<u4")
+    raw[: len(raw) - 2].tofile(f"{base}.freqs")
+    with pytest.raises(ValueError):
+        read_collection(base)
+
+    # mid-sequence truncation of .docs -> loud error from read_sequences
+    raw = np.fromfile(f"{base}.docs", dtype="<u4")
+    raw[: len(raw) - 1].tofile(f"{base}.docs")
+    with pytest.raises(ValueError, match="truncated"):
+        list(read_sequences(f"{base}.docs"))

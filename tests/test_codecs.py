@@ -189,3 +189,40 @@ def test_indexed_bit_cost_scalar_vec_parity():
         dtype=np.int64,
     )
     assert np.array_equal(got, exp), (got[got != exp][:5], exp[got != exp][:5])
+
+
+def test_pfd_width64_roundtrip_no_warnings():
+    """b=64 blocks (values needing all 64 bits) must round-trip exactly
+    with NO numpy warning: 1<<64 is numpy-undefined, so the all-ones mask
+    is spelled directly (round-5 review finding)."""
+    import warnings
+
+    from ds2s.codecs.pfd import pfd_decode, pfd_encode, pfd_encode_block
+
+    v = np.array([2**63 + 7, 2**64 - 1, 5, 2**58], dtype=np.uint64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        big = np.concatenate(
+            [np.arange(200, dtype=np.uint64) * np.uint64(2**53), v]
+        )
+        got, _ = pfd_decode(pfd_encode(big))
+        assert np.array_equal(got, big)
+    # an empty block is unrepresentable (header stores n-1 in a u8) and
+    # must raise, not alias to a 1-value block decoding to [0]
+    with pytest.raises(ValueError, match="empty block"):
+        pfd_encode_block(np.zeros(0, dtype=np.uint64))
+
+
+def test_auto_codec_skips_gvb_past_u32():
+    """'auto' must treat gvb's u32 limit as ineligibility, not a
+    build-fatal ValueError: docIDs past 2^32 are in-contract at
+    10^12-file scale (round-5 review finding)."""
+    from ds2s.blocks import _encode_one
+    from ds2s.codecs import decode_docs, decode_tfs
+
+    docs = np.array([2**33, 2**33 + 5, 2**34 - 1], dtype=np.uint64)
+    tfs = np.array([1, 2, 3], dtype=np.uint64)
+    universe = 2**34
+    db, tb = _encode_one(docs, tfs, universe, "auto")
+    assert np.array_equal(decode_docs(db)[0], docs)
+    assert np.array_equal(decode_tfs(tb)[0], tfs)

@@ -138,3 +138,31 @@ def test_persist_tf_false_identical(spark):
         "term_id", "block_id", "n", "first_doc", "last_doc"
     ).orderBy("term_id", "block_id").collect()
     assert [tuple(r) for r in ba] == [tuple(r) for r in bb]
+
+
+def test_load_code_corpus_bare_relative_dir(spark):
+    """A bare relative parquet directory ("corpusdir", no slash, no
+    .parquet suffix) must load as parquet, not be routed to
+    spark.read.table — the CLI schema-sniffs such paths as parquet and
+    then crashed on the table route (round-5 review finding).
+
+    The dir must be relative to the PROCESS cwd (the JVM resolves
+    relative paths against its own launch dir, same as a real CLI
+    invocation), so tmp_path + chdir cannot stand in here."""
+    import shutil
+
+    from ds2s.corpus import load_code_corpus, synth_corpus
+
+    name = "corpusdir_reltest_tmp"
+    shutil.rmtree(name, ignore_errors=True)
+    try:
+        synth_corpus(spark).select(
+            "repo", "path", "commit", "lang", "content"
+        ).write.parquet(name)
+        out = load_code_corpus(spark, name)
+        assert out.count() == 300
+        assert out.columns == [
+            "doc_id", "repo", "path", "commit", "lang", "content"
+        ]
+    finally:
+        shutil.rmtree(name, ignore_errors=True)

@@ -183,3 +183,17 @@ def test_eager_false_composes_without_jobs(docs, spark):
         (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
     }
     assert {(r["doc_a"], r["doc_b"]) for r in lazy.collect()} == eager
+
+
+def test_minhash_bands_must_divide_perms(docs):
+    """n_bands must divide n_perm exactly: a remainder silently drops the
+    trailing permutations from every band key and n_bands > n_perm makes
+    every key the empty string — one quadratic bucket (round-5 review
+    finding; mirrors the simhash n_bands guard)."""
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(docs, n_perm=16, n_bands=5)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(docs, n_perm=16, n_bands=32)
+    sigs = dedup.minhash_signatures(docs, n_perm=8)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_band_keys(sigs, n_perm=8, n_bands=3)

@@ -314,3 +314,37 @@ def test_dup_edges_accepts_scored_pairs(docs):
     edges = dedup.dup_edges(docs, pairs=scored)
     assert edges.columns == ["doc_a", "doc_b"]
     edges.count()  # plan executes, no AnalysisException
+
+
+def test_token_count_vertical_tab_oracle_parity(spark, tmp_path):
+    """Java's \\s includes vertical tab (0x0B) but RE2's (DuckDB) does
+    not; the token patterns therefore spell the whitespace class out
+    explicitly, and engine and oracle must agree byte-for-byte on a
+    0x0B-bearing document (round-5 review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, "a\x0bb"),          # the divergence byte itself
+        (1, "a b\tc\nd\fe\rf"),  # every shared whitespace byte
+        (2, "x\x0b\x0by \x0b"),
+        (3, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # single parquet FILE (like the driver fixtures) — DuckDB's view in
+    # duck_run opens '<dir>/documents.parquet' directly, not a Spark
+    # part-file directory
+    pq.write_table(
+        pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    assert_match(
+        textops.token_count(df),
+        duck_run(OT.sql_token_count(), str(tmp_path)),
+        "token_count_vtab",
+    )
+    # and the explicit-class semantics: 0x0B is a TOKEN byte on both sides
+    got = {r["doc_id"]: r["n_ws_tokens"] for r in textops.token_count(df).collect()}
+    assert got[0] == 1 and got[2] == 2
