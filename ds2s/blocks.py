@@ -450,6 +450,11 @@ def blocks_from_tf(
     )
     if scored:
         frag_schema += ", lens_bin binary"
+    # snapshot DRIVER-side at plan time and close over it, exactly like
+    # the term plan: long-lived worker daemons have an environ that
+    # predates the caller's setting, so reading it inside the kernel
+    # would ignore the override on a real cluster (round-5 review finding)
+    max_rows = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
 
     def split_iter(batches) -> Iterator:
         # Buffer the whole partition (hash-partitioned → every (term,
@@ -487,7 +492,6 @@ def blocks_from_tf(
         # 256 M rows ≈ 6 GB resident / ~18 GB peak per worker; override via
         # DS2S_SPLIT_MAX_PARTITION_ROWS for bigger workers.
         n_rows = sum(len(a) for a in t_p)
-        max_rows = int(os.environ.get("DS2S_SPLIT_MAX_PARTITION_ROWS", 1 << 28))
         if n_rows > max_rows:
             raise RuntimeError(
                 f"blocks_from_tf split kernel: shuffle partition holds "

@@ -74,14 +74,20 @@ class IndexStore:
                     units[row["unit"]] = row
         return units
 
+    def _rewrite_manifest(self, units: dict) -> None:
+        """The ONE atomic manifest rewrite (tmp + POSIX rename) — both
+        writers go through here so the crash-safety discipline cannot
+        drift between them."""
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text("".join(json.dumps(r) + "\n" for r in units.values()))
+        os.replace(tmp, self.manifest_path)
+
     def _append_manifest(self, row: dict) -> None:
         """Atomic append: rewrite to tmp + rename (POSIX atomic).  A row
         with an existing unit name REPLACES it (config-mismatch rewrite)."""
         units = self.completed_units()
         units[row["unit"]] = row
-        tmp = self.manifest_path.with_suffix(".tmp")
-        tmp.write_text("".join(json.dumps(r) + "\n" for r in units.values()))
-        os.replace(tmp, self.manifest_path)
+        self._rewrite_manifest(units)
 
     def _invalidate_units(self, names: set[str]) -> None:
         """Drop manifest lines for units about to be REWRITTEN (any
@@ -97,9 +103,7 @@ class IndexStore:
         keep = {k: v for k, v in units.items() if k not in names}
         if len(keep) == len(units):
             return
-        tmp = self.manifest_path.with_suffix(".tmp")
-        tmp.write_text("".join(json.dumps(r) + "\n" for r in keep.values()))
-        os.replace(tmp, self.manifest_path)
+        self._rewrite_manifest(keep)
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         rows = list(self.completed_units().values())
@@ -202,8 +206,13 @@ class IndexStore:
             with mlock:
                 written += 1
 
-        def plain(df: DataFrame, sub: str):
+        def plain(df_or_fn, sub: str):
+            """``df_or_fn`` may be a zero-arg callable building the frame:
+            unit() skips done units BEFORE running it, so a resumed no-op
+            pass must not pay (or crash on) the plan-construction reads of
+            already-written tables (round-5 review finding)."""
             def run():
+                df = df_or_fn() if callable(df_or_fn) else df_or_fn
                 df.write.mode("overwrite").parquet(str(self.root / sub))
                 # count from the written files (parquet footer metadata) —
                 # never re-executes the producing pipeline
@@ -237,7 +246,7 @@ class IndexStore:
             # bucket (the per-bucket variant was n_buckets driver jobs)
             counts = {
                 int(r["bucket"]): int(r["n"])
-                for r in spark.read.parquet(str(self.root / "blocks"))
+                for r in self.load_blocks(spark)
                 .groupBy("bucket")
                 .agg(F.count("*").alias("n"))
                 .collect()
@@ -322,9 +331,7 @@ class IndexStore:
         unit(
             "superblocks",
             plain(
-                superblock_agg(
-                    spark.read.parquet(str(self.root / "blocks")), sb_size
-                ),
+                lambda: superblock_agg(self.load_blocks(spark), sb_size),
                 "superblocks",
             ),
         )
@@ -336,7 +343,7 @@ class IndexStore:
         unit(
             "wand_max",
             plain(
-                spark.read.parquet(str(self.root / "superblocks"))
+                lambda: self.load_table(spark, "superblocks")
                 .groupBy("term_id")
                 .agg(F.max("sb_max_score").alias("max_score")),
                 "wand_max",
@@ -377,10 +384,42 @@ class IndexStore:
 
     # -- load --------------------------------------------------------------
     def load_blocks(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(str(self.root / "blocks"))
+        """Stored blocks.  Fallback to an explicit schema when inference
+        fails: a no-token corpus writes an EMPTY blocks/ dir (only
+        _SUCCESS), where schema inference raises an unrelated-looking
+        AnalysisException and the store could never complete (round-5
+        review finding).  Inference stays the primary path so a stored
+        layout is always read as written."""
+        from pyspark.errors import AnalysisException
+
+        path = str(self.root / "blocks")
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            from .blocks import BLOCKS_SCHEMA_SCORED
+
+            return spark.read.schema(
+                BLOCKS_SCHEMA_SCORED + ", bucket int"
+            ).parquet(path)
+
+    # explicit schemas for tables that may legitimately be EMPTY (a
+    # no-token corpus): schema inference fails on a part-file-less dir
+    _EMPTY_FALLBACK_SCHEMAS = {
+        "superblocks": "term_id int, sb_id int, first_doc long, "
+                       "last_doc long, sb_max_score double, n_blocks long",
+        "wand_max": "term_id int, max_score double",
+    }
 
     def load_table(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(str(self.root / name))
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(str(self.root / name))
+        except AnalysisException:
+            schema = self._EMPTY_FALLBACK_SCHEMAS.get(name)
+            if schema is None:
+                raise
+            return spark.read.schema(schema).parquet(str(self.root / name))
 
     def load_meta(self) -> dict:
         return json.loads((self.root / "_index.json").read_text())

@@ -351,6 +351,9 @@ def _make_kernel(k, algo, scorer, avg_len, rank_round):
                 )
             )
         if not per_term:
+            # defensive only — applyInPandas never invokes the kernel on
+            # an empty group today, so this is unreachable; kept as a
+            # typed guard against upstream contract drift, NOT a live path
             return pd.DataFrame(
                 {"qid": [], "rank": [], "doc_id": [], "score": []}
             ).astype({"qid": "int32", "rank": "int32", "doc_id": "int64", "score": "float64"})
@@ -478,6 +481,16 @@ class ServingIndex:
         self.n_docs = int(n_docs)
         self.avg_len = float(avg_len)
         self.seed_max_blocks = int(seed_max_blocks)
+        if self.seed_max_blocks < 1:
+            # 0/negative would silently DISABLE the seed payload cap and
+            # ship every block of a qid's rarest term to the driver —
+            # the unbounded state the class contract forbids.  θ₀ cannot
+            # be turned off (any cap only weakens it, exactness is
+            # unaffected), so reject rather than reinterpret.
+            raise ValueError(
+                f"seed_max_blocks={seed_max_blocks} must be ≥ 1 (driver "
+                "seed state is bounded by seed_max_blocks payload rows)"
+            )
         self.sb_size = int(sb_size)
         self.plan_collect_cap = int(plan_collect_cap)
         self.blocks = blocks.persist()
@@ -828,8 +841,15 @@ class ServingIndex:
                     nb=g["n_blocks"].to_numpy(np.int64),
                 )
             qid_sb_sets: dict[int, dict[int, set]] = {}
-            union_sb: set[tuple[int, int]] = set()
-            est2 = 0
+            # union_nb keys the DISTINCT surviving (term, superblock)s with
+            # their block counts: the driver tier collects exactly that
+            # UNION, so the cap gate must measure it deduplicated — the
+            # per-(qid, term) sum (est_kernel) over-counted shared terms
+            # ~n_qids× and pushed batches into the slow kernel tier whose
+            # union fetch was in-cap (round-5 review finding).  est_kernel
+            # stays recorded: it IS the per-qid kernel-input bound.
+            union_nb: dict[tuple[int, int], int] = {}
+            est_kernel = 0
             for qid, qterms in sorted(qid_terms.items()):
                 per_term, infos = [], []
                 for tid, w, idf in qterms:
@@ -845,15 +865,19 @@ class ServingIndex:
                 for (tid, m), take in zip(infos, takes):
                     idxs = np.flatnonzero(take)
                     sets[tid] = set(m["sb"][idxs].tolist())
-                    est2 += int(m["nb"][idxs].sum())
-                    for s in m["sb"][idxs]:
-                        union_sb.add((tid, int(s)))
+                    est_kernel += int(m["nb"][idxs].sum())
+                    for pos in idxs:
+                        union_nb[(tid, int(m["sb"][pos]))] = int(m["nb"][pos])
                 qid_sb_sets[qid] = sets
+            est2 = sum(union_nb.values())
 
             sbk = pd.DataFrame(
-                sorted(union_sb), columns=["term_id", "sb_id"]
+                sorted(union_nb), columns=["term_id", "sb_id"]
             ).astype({"term_id": "int32", "sb_id": "int32"})
-            self.last_plan.update(sb_rows=len(sbm), kernel_input_bound=est2)
+            self.last_plan.update(
+                sb_rows=len(sbm), kernel_input_bound=est_kernel,
+                driver_fetch_bound=est2,
+            )
             if est2 <= self.plan_collect_cap:
                 # exact block grid in the driver over SURVIVING superblocks
                 sbk_df = spark.createDataFrame(sbk) if len(sbk) else None

@@ -67,7 +67,6 @@ def test_dedupe_query_terms_honored(spark, synth_idx):
     no-op, round-5 review finding)."""
     import dataclasses
 
-    from ds2s.invert import InvertedIndex
     from ds2s.serve import ServingIndex
 
     dup_q = [(0, 0, "def"), (0, 1, "def"), (0, 2, "return")]
@@ -81,7 +80,7 @@ def test_dedupe_query_terms_honored(spark, synth_idx):
     base = ranked(synth_idx, dup_q)
 
     cfg2 = dataclasses.replace(synth_idx.cfg, dedupe_query_terms=True)
-    idx2 = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg2})
+    idx2 = dataclasses.replace(synth_idx, cfg=cfg2)
     dd = ranked(idx2, dup_q)
 
     # deduped duplicate query ≡ the same query written once per term

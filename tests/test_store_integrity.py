@@ -65,14 +65,13 @@ def test_crashed_rewrite_invalidates_stale_lines(tmp_path, spark, synth_idx):
     for a dir B had already destroyed."""
     import dataclasses
 
-    from ds2s.invert import InvertedIndex
 
     store = IndexStore(str(tmp_path / "crashb"))
     store.write_checkpointed(synth_idx, source="synth", n_buckets=N_BUCKETS)
     assert len(store.completed_units()) == TOTAL_UNITS
 
     cfg_b = dataclasses.replace(synth_idx.cfg, block_size=32)
-    idx_b = InvertedIndex(**{**synth_idx.__dict__, "cfg": cfg_b})
+    idx_b = dataclasses.replace(synth_idx, cfg=cfg_b)
     with pytest.raises(RuntimeError, match="injected failure"):
         store.write_checkpointed(
             idx_b, source="synth", n_buckets=N_BUCKETS, fail_after_units=3
