@@ -107,6 +107,26 @@ def _no_aqe(spark):
             spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 _UB_MARGIN = 1.0 + 1e-9
+# Above this many distinct terms, the per-batch `term_id IN (...)` payload
+# prefilter is skipped: the InSet predicate itself stays cheap, but a
+# vocabulary that wide touches most cached batches / row groups anyway and
+# the literal list starts to dominate plan serialization.  Batches this
+# large are far past the interactive shape the filter exists for.
+_MAX_TERM_IN_FILTER = 8192
+
+
+def _term_prefilter(blocks, tids):
+    """`term_id IN (tids)` scan predicate on the block table.
+
+    Semantics-free (callers only ever join the result back on term keys
+    drawn from `tids`); its job is to reach the SCAN: cached-relation
+    batch stats or parquet row-group stats prune before any payload byte
+    is materialized, instead of every row probing the survivor join."""
+    if 0 < len(tids) <= _MAX_TERM_IN_FILTER:
+        return blocks.filter(F.col("term_id").isin([int(t) for t in tids]))
+    return blocks
+
+
 _OUT_SCHEMA = "qid int, rank int, doc_id long, score double"
 _SURV_SCHEMA = (
     "qid int, term_id int, block_id int, w double, idf double, "
@@ -886,7 +906,10 @@ class ServingIndex:
                 else:
                     with _no_aqe(spark):
                         meta = (
-                            self.blocks
+                            _term_prefilter(
+                                self.blocks,
+                                sorted({t for t, _ in union_nb}),
+                            )
                             .withColumn(
                                 "sb_id",
                                 (F.col("block_id") / self.sb_size).cast("int"),
@@ -936,14 +959,16 @@ class ServingIndex:
             surv_keys = F.broadcast(
                 spark.createDataFrame(spdf, schema=_SURV_SCHEMA)
             )
+            payload_tids = sorted(set(spdf["term_id"].tolist()))
         else:
             sbk_df = spark.createDataFrame(
                 fallback_sbk,
                 schema="qid int, term_id int, sb_id int, w double, "
                        "idf double, theta0 double",
             )
+            ftids = sorted(set(fallback_sbk["term_id"].tolist()))
             bmeta = (
-                self.blocks
+                _term_prefilter(self.blocks, ftids)
                 .withColumn(
                     "sb_id", (F.col("block_id") / self.sb_size).cast("int")
                 )
@@ -960,7 +985,16 @@ class ServingIndex:
             surv_keys = bmeta.groupBy("qid").applyInPandas(
                 _make_plan_kernel(), schema=_SURV_SCHEMA
             )
-        return self.blocks.select(
+            payload_tids = ftids
+        # The survivor keys' term set is driver-known and ⊆ the batch
+        # vocabulary in every tier, so pre-filtering the PAYLOAD side on
+        # it is semantics-preserving (the join can only keep those terms)
+        # — without it every batch's payload fetch is a full scan of the
+        # block table's binary columns through the join probe; the IN
+        # predicate instead prunes cached batches (in-memory stats) or
+        # parquet row groups (store-backed serving) before any payload
+        # byte is materialized.
+        return _term_prefilter(self.blocks, payload_tids).select(
             "term_id", "block_id", "n", "first_doc", "last_doc",
             "doc_bytes", "tf_bytes", "len_bytes", "block_max_score",
         ).join(surv_keys, ["term_id", "block_id"])
