@@ -496,3 +496,25 @@ def test_pruned_equals_exhaustive_synth(spark, synth_idx, algo, codec):
         check_exact=False,
         atol=1e-8,
     )
+
+
+@pytest.mark.parametrize("algo", ["bmw", "maxscore", "wand"])
+def test_term_prefilter_is_semantics_free(spark, sidx001, monkeypatch, algo):
+    """The `term_id IN (batch vocabulary)` scan prefilter is a pure
+    pruning aid: forcing it OFF (cap 0) and fully ON (huge cap) must
+    yield identical top-k frames, on every algorithm and tier the batch
+    routes through.  Pins the sha-equality claim of PREFILTER_AB.jsonl
+    as a regression test."""
+    import ds2s.serve as serve
+
+    qdf = Q.queries_df(spark)
+    frames = {}
+    for cap in (0, 1 << 30):
+        monkeypatch.setattr(serve, "_MAX_TERM_IN_FILTER", cap)
+        frames[cap] = (
+            sidx001.topk(qdf, k=DEFAULT_K, algo=algo)
+            .orderBy("qid", "rank")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(frames[0], frames[1 << 30])
