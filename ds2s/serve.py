@@ -115,15 +115,29 @@ _UB_MARGIN = 1.0 + 1e-9
 _MAX_TERM_IN_FILTER = 8192
 
 
-def _term_prefilter(blocks, tids):
+def _term_prefilter(blocks, tids, n_buckets: int = 0):
     """`term_id IN (tids)` scan predicate on the block table.
 
     Semantics-free (callers only ever join the result back on term keys
     drawn from `tids`); its job is to reach the SCAN: cached-relation
     batch stats or parquet row-group stats prune before any payload byte
-    is materialized, instead of every row probing the survivor join."""
+    is materialized, instead of every row probing the survivor join.
+
+    When the table is the hive-partitioned store layout
+    (``blocks/bucket=k``, ``bucket = term_id % n_buckets`` — see
+    manifest.write_checkpointed), the bucket set is derivable driver-side
+    from the same term set, so an additional ``bucket IN (...)`` predicate
+    prunes whole PARTITION DIRECTORIES at planning time: uncached
+    store-backed serving then lists and reads only the query terms'
+    buckets, never the other ~(n_buckets − |terms|)/n_buckets of a
+    multi-TB block table."""
     if 0 < len(tids) <= _MAX_TERM_IN_FILTER:
-        return blocks.filter(F.col("term_id").isin([int(t) for t in tids]))
+        out = blocks.filter(F.col("term_id").isin([int(t) for t in tids]))
+        if n_buckets > 0 and "bucket" in blocks.columns:
+            out = out.filter(F.col("bucket").isin(
+                sorted({int(t) % n_buckets for t in tids})
+            ))
+        return out
     return blocks
 
 
@@ -496,10 +510,16 @@ class ServingIndex:
                      blocks: DataFrame, wand: DataFrame | None = None,
                      superblocks: DataFrame | None = None,
                      seed_max_blocks: int = 64, sb_size: int = 128,
-                     plan_collect_cap: int = 131072) -> None:
+                     plan_collect_cap: int = 131072,
+                     cache_blocks: bool = True) -> None:
         self.lexicon = lexicon
         self.n_docs = int(n_docs)
         self.avg_len = float(avg_len)
+        # store layout hint: >0 means blocks carries a `bucket` hive
+        # partition column with bucket = term_id % _n_buckets (from_store
+        # sets it from _index.json) — _term_prefilter then prunes whole
+        # bucket directories on uncached store-backed serving
+        self._n_buckets = 0
         self.seed_max_blocks = int(seed_max_blocks)
         if self.seed_max_blocks < 1:
             # 0/negative would silently DISABLE the seed payload cap and
@@ -513,7 +533,12 @@ class ServingIndex:
             )
         self.sb_size = int(sb_size)
         self.plan_collect_cap = int(plan_collect_cap)
-        self.blocks = blocks.persist()
+        # cache_blocks=False is the 100 TB store-serving shape: a block
+        # table that dwarfs executor storage is served straight off
+        # parquet, where the per-batch term/bucket predicates reach the
+        # file scan (partition-directory + row-group pruning) instead of
+        # materializing the full table into the cache on first touch.
+        self.blocks = blocks.persist() if cache_blocks else blocks
         if wand is None:
             # term upper bound = max over its block maxes — one small agg
             # over the (persisted) block table, no postings scan
@@ -543,7 +568,8 @@ class ServingIndex:
     @classmethod
     def from_store(cls, spark, store, cfg: IndexConfig | None = None,
                    seed_max_blocks: int = 64, sb_size: int = 128,
-                   plan_collect_cap: int = 131072) -> "ServingIndex":
+                   plan_collect_cap: int = 131072,
+                   cache_blocks: bool = True) -> "ServingIndex":
         """Serve from a persisted IndexStore (ds2s.manifest) — the
         ``succinct::mapper::map`` analogue ([U] succinct/mapper.hpp): the
         index IS the tables; no source corpus needed.  The scorer comes
@@ -613,7 +639,9 @@ class ServingIndex:
             seed_max_blocks=seed_max_blocks,
             sb_size=int(meta.get("sb_size", sb_size)),
             plan_collect_cap=plan_collect_cap,
+            cache_blocks=cache_blocks,
         )
+        self._n_buckets = int(meta.get("n_buckets", 0))
         return self
 
     # -- query-time plan ----------------------------------------------------
@@ -688,8 +716,16 @@ class ServingIndex:
         wr = Window.partitionBy("term_id").orderBy(
             F.desc("block_max_score"), F.asc("block_id")
         )
+        src = self.blocks
+        if self._n_buckets > 0 and "bucket" in src.columns:
+            # partition-directory pruning hint; the isin below is the
+            # SEMANTIC filter (must apply even for empty/huge term sets,
+            # so _term_prefilter's skip-above-cap contract doesn't fit)
+            src = src.filter(F.col("bucket").isin(
+                sorted({int(t) % self._n_buckets for t in seed_tids})
+            ))
         seeds = (
-            self.blocks.filter(F.col("term_id").isin(seed_tids))
+            src.filter(F.col("term_id").isin(seed_tids))
             .select("term_id", "block_id", "block_max_score",
                     "tf_bytes", "len_bytes")
         )
@@ -909,6 +945,7 @@ class ServingIndex:
                             _term_prefilter(
                                 self.blocks,
                                 sorted({t for t, _ in union_nb}),
+                                self._n_buckets,
                             )
                             .withColumn(
                                 "sb_id",
@@ -968,7 +1005,7 @@ class ServingIndex:
             )
             ftids = sorted(set(fallback_sbk["term_id"].tolist()))
             bmeta = (
-                _term_prefilter(self.blocks, ftids)
+                _term_prefilter(self.blocks, ftids, self._n_buckets)
                 .withColumn(
                     "sb_id", (F.col("block_id") / self.sb_size).cast("int")
                 )
@@ -994,7 +1031,9 @@ class ServingIndex:
         # predicate instead prunes cached batches (in-memory stats) or
         # parquet row groups (store-backed serving) before any payload
         # byte is materialized.
-        return _term_prefilter(self.blocks, payload_tids).select(
+        return _term_prefilter(
+            self.blocks, payload_tids, self._n_buckets
+        ).select(
             "term_id", "block_id", "n", "first_doc", "last_doc",
             "doc_bytes", "tf_bytes", "len_bytes", "block_max_score",
         ).join(surv_keys, ["term_id", "block_id"])

@@ -244,3 +244,50 @@ def test_salt_stride_shared_formula():
     for universe, n in [(100, 4), (1000, 16), (7, 3)]:
         s = range_salt_stride(universe, n)
         assert (universe - 1) // s < n
+
+
+def test_uncached_store_serving_prunes_buckets(tmp_path, spark, synth_idx):
+    """from_store(cache_blocks=False) — the 100 TB store-serving shape —
+    must (a) leave the block table un-persisted, (b) push the per-batch
+    term AND bucket predicates to the parquet scan (partition-directory
+    pruning on bucket=term_id%n_buckets, PushedFilters on term_id), and
+    (c) stay rank-identical to the exhaustive oracle."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ds2s import query as Q
+    from ds2s import serve
+    from ds2s.serve import ServingIndex, _term_prefilter
+
+    store = IndexStore(str(tmp_path / "uncached"))
+    store.write_checkpointed(synth_idx, source="synth", n_buckets=N_BUCKETS)
+    sidx = ServingIndex.from_store(spark, store, cache_blocks=False)
+    try:
+        assert sidx.blocks.storageLevel == StorageLevel.NONE
+        assert sidx._n_buckets == N_BUCKETS
+
+        # plan-level: both predicates reach the file scan
+        tids = [int(r["term_id"]) for r in sidx.lexicon.limit(3).collect()]
+        plan = (
+            _term_prefilter(sidx.blocks, tids, sidx._n_buckets)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters: [In(term_id" in plan, plan
+        assert "PartitionFilters: [" in plan and "bucket" in plan, plan
+
+        qdf = Q.queries_df(spark, rows=[(0, 0, "def"), (0, 1, "return")])
+        exact = (
+            Q.ranked_or_topk(synth_idx, qdf, k=5)
+            .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+        )
+        for algo in ("bmw", "maxscore", "wand"):
+            got = (
+                sidx.topk(qdf, k=5, algo=algo)
+                .orderBy("qid", "rank").toPandas().reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got.astype({"qid": "int64", "rank": "int64"}),
+                exact.astype({"qid": "int64", "rank": "int64"}),
+                check_exact=False, atol=1e-8,
+            )
+    finally:
+        sidx.unpersist()
