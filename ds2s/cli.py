@@ -150,7 +150,9 @@ def cmd_query(args: argparse.Namespace) -> None:
 
     spark = get_spark(app="ds2s-query")
     store = IndexStore(args.index)
-    sidx = ServingIndex.from_store(spark, store)
+    sidx = ServingIndex.from_store(
+        spark, store, cache_blocks=not args.no_cache
+    )
     from ds2s.query import queries_df
 
     # Query-side tokenization mirrors the ENGINE's tokenizer (the
@@ -258,6 +260,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="time each query individually; one JSON stats "
                         "line per query on stderr (reference queries-tool "
                         "semantics)")
+    q.add_argument("--no-cache", action="store_true",
+                   help="serve straight off the store's parquet (no "
+                        "block-table persist): per-batch term+bucket "
+                        "predicates prune partition directories and row "
+                        "groups — the mode for indexes larger than "
+                        "executor storage")
     q.set_defaults(fn=cmd_query)
     args = p.parse_args(argv)
     args.fn(args)

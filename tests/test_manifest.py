@@ -278,6 +278,11 @@ def test_cli_query_per_query_stats(tmp_path, spark):
     for s in pq_stats:
         assert s["runs"] == 2 and 0 < s["min_us"] <= s["avg_us"]
 
+    # --no-cache (uncached store serving, predicates pushed to parquet)
+    # must be result-identical to the cached default
+    nc_rows, _ = run(["--no-cache"])
+    assert nc_rows == batch_rows
+
     # TRAP (round-5 review): the timed window must contain the topk()
     # CALL, not just the collect of its result — topk does eager driver
     # work (plan fetches; on the driver-grid tier the kernel itself runs
