@@ -238,6 +238,16 @@ class IndexStore:
             bucketed = blocks.withColumn(
                 "bucket", F.pmod(F.col("term_id"), F.lit(n_buckets))
             )
+            # local sort (no shuffle) clusters each written file by
+            # term_id, so its parquet row-group min/max stats are tight —
+            # uncached serving's `term_id IN (...)` PushedFilters then
+            # skip row groups inside the surviving buckets instead of
+            # scanning them; leading with `bucket` also satisfies the
+            # partitionBy writer's required ordering, so it inserts no
+            # second sort of its own
+            bucketed = bucketed.sortWithinPartitions(
+                "bucket", "term_id", "block_id"
+            )
             bucketed.write.partitionBy("bucket").mode("overwrite").parquet(
                 str(self.root / "blocks")
             )
