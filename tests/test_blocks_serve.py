@@ -518,3 +518,32 @@ def test_term_prefilter_is_semantics_free(spark, sidx001, monkeypatch, algo):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(frames[0], frames[1 << 30])
+
+
+def test_term_prefilter_cap_and_bucket_boundaries(spark):
+    """Above _MAX_TERM_IN_FILTER the prefilter must return the input
+    UNFILTERED (the skip contract callers rely on: downstream joins
+    re-restrict, so skipping is safe — filtering a huge literal list is
+    the thing being avoided); at or below the cap it must filter, and
+    the bucket predicate must appear only when the table carries the
+    store's partition column AND n_buckets is known."""
+    import ds2s.serve as serve
+    from ds2s.serve import _term_prefilter
+
+    df = spark.range(100).selectExpr(
+        "CAST(id AS int) AS term_id", "CAST(id % 4 AS int) AS bucket"
+    )
+    over_cap = list(range(serve._MAX_TERM_IN_FILTER + 1))
+    assert _term_prefilter(df, over_cap) is df
+    assert _term_prefilter(df, []) is df
+
+    got = _term_prefilter(df, [3, 7], n_buckets=4).collect()
+    assert sorted(r["term_id"] for r in got) == [3, 7]
+    plan = (
+        _term_prefilter(df, [3, 7], n_buckets=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "bucket" in plan
+    # no bucket column -> term filter only, no crash
+    got2 = _term_prefilter(df.drop("bucket"), [3, 7], n_buckets=4).collect()
+    assert sorted(r["term_id"] for r in got2) == [3, 7]
