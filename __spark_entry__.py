@@ -295,6 +295,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_histogram_png": lambda spark, sf: multimodal.byte_histogram(
             multimodal.png_media_table(_docs(spark, sf))
         ),
+        # REAL video-like container decode: the payload is a complete
+        # ANIMATED GIF89a (block walk + general variable-width LZW +
+        # grayscale palette mapping, implemented over the stdlib in
+        # ds2s.multimodal) whose frames balanced-partition the document
+        # bytes — the gif feature variants share the txt oracles, and
+        # gif_frame_sample is the one frame extractor with an EXACT SQL
+        # oracle (each decoded frame == a substring of the source text)
+        "resize_media_gif": lambda spark, sf: multimodal.resize_media(
+            multimodal.gif_media_table(_docs(spark, sf))
+        ),
+        "byte_histogram_gif": lambda spark, sf: multimodal.byte_histogram(
+            multimodal.gif_media_table(_docs(spark, sf))
+        ),
+        "gif_frame_sample": lambda spark, sf: multimodal.gif_frame_sample(
+            multimodal.gif_media_table(_docs(spark, sf))
+        ),
     }
 
 
@@ -368,5 +384,13 @@ def oracle_sql() -> dict[str, str]:
         # document bytes by construction, so the txt oracles apply
         "resize_media_png": OT.sql_resize_media(),
         "byte_histogram_png": OT.sql_byte_histogram(),
+        # gif variants: real animated-GIF89a encode on the engine side
+        # (decode is a genuine block walk + general LZW); frames
+        # balanced-partition the bytes so the feature ops share the txt
+        # oracles and the frame extractor checks against pure substring
+        # arithmetic — the one frame-sampling op with an exact SQL oracle
+        "resize_media_gif": OT.sql_resize_media(),
+        "byte_histogram_gif": OT.sql_byte_histogram(),
+        "gif_frame_sample": OT.sql_gif_frame_sample(),
         # frame_sample: binary payload slices — rows-only (pytest-verified)
     }

@@ -427,3 +427,32 @@ SELECT doc_id,
        round(avg(code), 6) AS value
 FROM chars GROUP BY doc_id, pos
 ORDER BY doc_id, pos"""
+
+
+def sql_gif_frame_sample(n_frames: int = 4) -> str:
+    """The gif_frame_sample oracle: gif_media_table's frames
+    balanced-partition the document bytes (min(n_frames, n) frames,
+    lengths n//k (+1 for the first n%k frames) — see
+    ds2s.multimodal._gif_frame_widths), so each decoded frame is exactly
+    a substring of the source text (ASCII corpus: codepoints == bytes).
+    No decoder on the oracle side — this checks the engine's real
+    container parse + LZW decode against pure string arithmetic."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         least({n_frames}, length(text)) AS k
+  FROM documents WHERE length(text) > 0
+)
+SELECT d.doc_id,
+       CAST(t.i AS INT) AS frame_id,
+       CAST((d.n // d.k) + CASE WHEN t.i < d.n % d.k THEN 1 ELSE 0 END
+            AS INT) AS n_px,
+       substr(d.text,
+              CAST(t.i * (d.n // d.k) + least(t.i, d.n % d.k) + 1 AS INT),
+              CAST((d.n // d.k)
+                   + CASE WHEN t.i < d.n % d.k THEN 1 ELSE 0 END AS INT)
+             ) AS frame_text
+FROM d
+CROSS JOIN (SELECT unnest(generate_series(0, {n_frames} - 1)) AS i) t
+WHERE t.i < d.k
+ORDER BY d.doc_id, frame_id"""
